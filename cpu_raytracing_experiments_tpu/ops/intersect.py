@@ -1,0 +1,214 @@
+"""Batched ray-primitive intersection.
+
+TPU-native replacement for the reference's 8-wide AVX2 sphere battery
+(/root/reference/BVH.hpp:237-305). The CPU code loops prims outer / 8-ray
+SIMD groups inner with masked stores; here the whole [rays x prims] battery
+is one broadcasted computation reduced with argmin — XLA vectorizes it onto
+full VPU width and fuses the distance formula, the validity masks and the
+running-min into one pass. Prim chunking bounds the materialized [R, C]
+working set. A Pallas kernel variant lives in ops/pallas/sphere_kernel.py.
+
+Root-selection semantics match BVH.hpp:250-287 exactly:
+    b    = dot(dir, C - p)
+    disc = r^2 - |C - p|^2 + b^2
+    t    = b - sqrt(disc), or b + sqrt(disc) if the near root is negative
+    hit  = disc >= 0 and t >= 0 and t < tfar
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+from ..core.vec import Vec3
+from .pallas import sphere_kernel as _pk
+
+FLT_MAX = jnp.float32(3.4028235e38)
+
+
+def _sphere_candidates(p: Vec3, d: Vec3, cx, cy, cz, r_sq):
+    """Per-(ray, prim) candidate distances. p,d: [R]; c*,r_sq: [C].
+    Returns t [R, C] with invalid entries = +inf."""
+    tx = cx[None, :] - p.x[:, None]
+    ty = cy[None, :] - p.y[:, None]
+    tz = cz[None, :] - p.z[:, None]
+    b = d.x[:, None] * tx + d.y[:, None] * ty + d.z[:, None] * tz
+    disc = r_sq[None, :] - (tx * tx + ty * ty + tz * tz) + b * b
+    valid = disc >= 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_near = b - sq
+    t = jnp.where(t_near < 0.0, b + sq, t_near)
+    valid = valid & (t >= 0.0)
+    return jnp.where(valid, t, FLT_MAX)
+
+
+def intersect_spheres(
+    p: Vec3,
+    d: Vec3,
+    center: Vec3,
+    radius_sq: jnp.ndarray,
+    tfar: Optional[jnp.ndarray] = None,
+    prim_chunk: int = 512,
+    prim_id_offset: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closest-hit over all spheres. Returns (tfar [R], prim_id [R]),
+    prim_id = -1 for miss. `tfar` seeds the search (closer hits only)."""
+    num_rays = p.x.shape[0]
+    num_prims = radius_sq.shape[0]
+    best_t = jnp.full((num_rays,), FLT_MAX) if tfar is None else tfar
+    best_id = jnp.full((num_rays,), -1, jnp.int32)
+    for start in range(0, num_prims, prim_chunk):
+        end = min(start + prim_chunk, num_prims)
+        t = _sphere_candidates(
+            p, d, center.x[start:end], center.y[start:end], center.z[start:end],
+            radius_sq[start:end],
+        )
+        chunk_best = jnp.min(t, axis=1)
+        chunk_arg = jnp.argmin(t, axis=1).astype(jnp.int32) + (start + prim_id_offset)
+        closer = chunk_best < best_t
+        best_id = jnp.where(closer, chunk_arg, best_id)
+        best_t = jnp.where(closer, chunk_best, best_t)
+    return best_t, best_id
+
+
+def occluded_spheres(
+    p: Vec3,
+    d: Vec3,
+    tfar: jnp.ndarray,
+    center: Vec3,
+    radius_sq: jnp.ndarray,
+    prim_chunk: int = 512,
+) -> jnp.ndarray:
+    """Any-hit shadow test (BVH.hpp:291-305): True where any prim lies at
+    t in [0, tfar) along the ray."""
+    num_rays = p.x.shape[0]
+    num_prims = radius_sq.shape[0]
+    occluded = jnp.zeros((num_rays,), bool)
+    for start in range(0, num_prims, prim_chunk):
+        end = min(start + prim_chunk, num_prims)
+        t = _sphere_candidates(
+            p, d, center.x[start:end], center.y[start:end], center.z[start:end],
+            radius_sq[start:end],
+        )
+        occluded = occluded | jnp.any(t < tfar[:, None], axis=1)
+    return occluded
+
+
+# ---------------------------------------------------------------------------
+# Triangles (Moller-Trumbore) — not in the reference (sphere-only); needed
+# for the Cornell-box and mesh benchmark configs.
+# ---------------------------------------------------------------------------
+def _triangle_candidates(p: Vec3, d: Vec3, v0: Vec3, e1: Vec3, e2: Vec3):
+    """Per-(ray, tri) distances, +inf when missed. All tri arrays [C]."""
+
+    def bx(a):  # broadcast prim -> [1, C]
+        return a[None, :]
+
+    def br(a):  # broadcast ray -> [R, 1]
+        return a[:, None]
+
+    # h = d x e2
+    hx = br(d.y) * bx(e2.z) - br(d.z) * bx(e2.y)
+    hy = br(d.z) * bx(e2.x) - br(d.x) * bx(e2.z)
+    hz = br(d.x) * bx(e2.y) - br(d.y) * bx(e2.x)
+    det = bx(e1.x) * hx + bx(e1.y) * hy + bx(e1.z) * hz
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    sx = br(p.x) - bx(v0.x)
+    sy = br(p.y) - bx(v0.y)
+    sz = br(p.z) - bx(v0.z)
+    u = (sx * hx + sy * hy + sz * hz) * inv_det
+    # q = s x e1
+    qx = sy * bx(e1.z) - sz * bx(e1.y)
+    qy = sz * bx(e1.x) - sx * bx(e1.z)
+    qz = sx * bx(e1.y) - sy * bx(e1.x)
+    v = (br(d.x) * qx + br(d.y) * qy + br(d.z) * qz) * inv_det
+    t = (bx(e2.x) * qx + bx(e2.y) * qy + bx(e2.z) * qz) * inv_det
+    valid = (
+        (jnp.abs(det) > 1e-12)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > 1e-6)
+    )
+    return jnp.where(valid, t, FLT_MAX)
+
+
+def intersect_triangles(
+    p: Vec3,
+    d: Vec3,
+    v0: Vec3,
+    e1: Vec3,
+    e2: Vec3,
+    tfar: Optional[jnp.ndarray] = None,
+    prim_chunk: int = 512,
+    prim_id_offset: int = 0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    num_rays = p.x.shape[0]
+    num_prims = v0.x.shape[0]
+    best_t = jnp.full((num_rays,), FLT_MAX) if tfar is None else tfar
+    best_id = jnp.full((num_rays,), -1, jnp.int32)
+    sl = lambda vec, a, b: Vec3(vec.x[a:b], vec.y[a:b], vec.z[a:b])
+    for start in range(0, num_prims, prim_chunk):
+        end = min(start + prim_chunk, num_prims)
+        t = _triangle_candidates(p, d, sl(v0, start, end), sl(e1, start, end), sl(e2, start, end))
+        chunk_best = jnp.min(t, axis=1)
+        chunk_arg = jnp.argmin(t, axis=1).astype(jnp.int32) + (start + prim_id_offset)
+        closer = chunk_best < best_t
+        best_id = jnp.where(closer, chunk_arg, best_id)
+        best_t = jnp.where(closer, chunk_best, best_t)
+    return best_t, best_id
+
+
+def occluded_triangles(
+    p: Vec3, d: Vec3, tfar: jnp.ndarray, v0: Vec3, e1: Vec3, e2: Vec3,
+    prim_chunk: int = 512,
+) -> jnp.ndarray:
+    num_rays = p.x.shape[0]
+    num_prims = v0.x.shape[0]
+    occluded = jnp.zeros((num_rays,), bool)
+    sl = lambda vec, a, b: Vec3(vec.x[a:b], vec.y[a:b], vec.z[a:b])
+    for start in range(0, num_prims, prim_chunk):
+        end = min(start + prim_chunk, num_prims)
+        t = _triangle_candidates(p, d, sl(v0, start, end), sl(e1, start, end), sl(e2, start, end))
+        occluded = occluded | jnp.any(t < tfar[:, None], axis=1)
+    return occluded
+
+
+# ---------------------------------------------------------------------------
+# Scene-level dispatch: spheres + optional triangles, optional Pallas kernel.
+# ---------------------------------------------------------------------------
+def intersect_scene(scene, p: Vec3, d: Vec3, use_pallas: bool = False):
+    """Closest hit over all scene geometry.
+
+    Returns (tfar [R], prim_id [R], is_triangle [R] bool). prim_id indexes
+    into spheres or triangles depending on is_triangle; -1 = miss.
+    """
+    if use_pallas and _pk.available() and scene.triangles is None:
+        tfar, prim_id = _pk.intersect_spheres_pallas(
+            p, d, scene.spheres.center, scene.spheres.radius_sq
+        )
+        return tfar, prim_id, jnp.zeros_like(prim_id, bool)
+    tfar, prim_id = intersect_spheres(
+        p, d, scene.spheres.center, scene.spheres.radius_sq
+    )
+    is_tri = jnp.zeros_like(prim_id, bool)
+    if scene.triangles is not None:
+        tri = scene.triangles
+        t2, id2 = intersect_triangles(p, d, tri.v0, tri.e1, tri.e2, tfar=tfar)
+        hit_tri = id2 >= 0
+        prim_id = jnp.where(hit_tri, id2, prim_id)
+        tfar = jnp.where(hit_tri, t2, tfar)
+        is_tri = hit_tri
+    return tfar, prim_id, is_tri
+
+
+def occluded_scene(scene, p: Vec3, d: Vec3, tfar: jnp.ndarray, use_pallas: bool = False):
+    if use_pallas and _pk.available() and scene.triangles is None:
+        return _pk.occluded_spheres_pallas(
+            p, d, tfar, scene.spheres.center, scene.spheres.radius_sq
+        )
+    occ = occluded_spheres(p, d, tfar, scene.spheres.center, scene.spheres.radius_sq)
+    if scene.triangles is not None:
+        tri = scene.triangles
+        occ = occ | occluded_triangles(p, d, tfar, tri.v0, tri.e1, tri.e2)
+    return occ

@@ -1,0 +1,223 @@
+"""Multi-chip rendering over a jax.sharding.Mesh.
+
+The reference's only parallelism is a shared-memory parallel_for over tiles
+(/root/reference/Renderer.hpp:75, SURVEY.md §2.3). Here the same
+decomposition is lifted onto a 2-axis device mesh:
+
+  * ``dp`` — pixels. Each chip renders a contiguous slice of the flat pixel
+    grid; tiles own disjoint accumulator slices exactly as on CPU, so no
+    communication is needed during accumulation. ICI traffic happens only at
+    frame assembly (an all_gather of the resolved image).
+  * ``sp`` — samples. Each sp rank runs the accumulation passes
+    ``acc0 + rank + k*n_sp``; because the RNG is counter-based, the union of
+    all ranks' passes is *bit-identical* to a sequential single-chip render,
+    and bucket merging is a psum at resolve time.
+
+Everything is expressed with shard_map over the mesh — XLA inserts the
+collectives and this same code path runs on N virtual CPU devices in tests
+(conftest sets xla_force_host_platform_device_count=8).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import color, sampling
+from ..render import renderer as _renderer
+from ..render.estimator import RenderState
+from ..scene.scene import Scene
+from ..utils.config import RendererPolicy
+
+try:
+    from jax import shard_map as _shard_map_fn
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map_fn(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map as _shard_map_old
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map_old(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+
+def make_mesh(dp: Optional[int] = None, sp: int = 1, devices=None) -> Mesh:
+    """Build a ('dp', 'sp') mesh. Default: all devices on dp."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    if dp is None:
+        dp = devices.size // sp
+    assert dp * sp == devices.size, (dp, sp, devices.size)
+    return Mesh(devices.reshape(dp, sp), ("dp", "sp"))
+
+
+def create_sharded_state(
+    width: int, height: int, policy: RendererPolicy, mesh: Mesh
+) -> RenderState:
+    """buckets laid out [sp, B, 3, npix]: sp-partial bucket sums sharded over
+    'sp', pixels sharded over 'dp'."""
+    n_sp = mesh.shape["sp"]
+    npix = width * height
+    assert npix % mesh.shape["dp"] == 0, "pixel count must divide dp axis"
+    sharding = NamedSharding(mesh, P("sp", None, None, "dp"))
+    buckets = jax.device_put(
+        jnp.zeros((n_sp, policy.accumulation_buckets, 3, npix), jnp.float32),
+        sharding,
+    )
+    acc = jax.device_put(
+        jnp.uint32(0), NamedSharding(mesh, P())
+    )
+    return RenderState(buckets=buckets, accumulations=acc)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("policy", "width", "height", "n", "mesh"),
+    donate_argnames=("state",),
+)
+def accumulate_n_sharded(
+    scene: Scene,
+    policy: RendererPolicy,
+    state: RenderState,
+    width: int,
+    height: int,
+    n: int,
+    mesh: Mesh,
+) -> RenderState:
+    """Run n accumulation passes distributed over the mesh. n must be a
+    multiple of the sp axis size; results are bit-identical to n sequential
+    single-device passes (same counters, same seeds)."""
+    n_dp = mesh.shape["dp"]
+    n_sp = mesh.shape["sp"]
+    assert n % n_sp == 0, "pass count must divide sp axis"
+    npix = width * height
+    local_pix = npix // n_dp
+    passes_per_rank = n // n_sp
+
+    def local_fn(scene, buckets, acc0):
+        dp = jax.lax.axis_index("dp")
+        sp = jax.lax.axis_index("sp")
+        pixel_start = dp.astype(jnp.uint32) * jnp.uint32(local_pix)
+        # buckets arrives as the local block [1, B, 3, local_pix]
+        local = buckets[0]
+
+        def step(k, b):
+            acc = (
+                acc0
+                + jnp.uint32(1)
+                + sp.astype(jnp.uint32)
+                + jnp.uint32(n_sp) * k.astype(jnp.uint32)
+            )
+            rad = _renderer.render_pass(
+                scene, policy, acc, width, height,
+                pixel_start=pixel_start, npix=local_pix, vma_axes=("dp", "sp"),
+            )
+            bucket = (acc % jnp.uint32(policy.accumulation_buckets)).astype(jnp.int32)
+            return b.at[bucket].add(jnp.stack([rad.x, rad.y, rad.z], axis=0))
+
+        local = jax.lax.fori_loop(0, passes_per_rank, step, local)
+        return local[None]
+
+    mapped = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P("sp", None, None, "dp"), P()),
+        out_specs=P("sp", None, None, "dp"),
+    )
+    buckets = mapped(scene, state.buckets, state.accumulations)
+    return RenderState(
+        buckets=buckets, accumulations=state.accumulations + jnp.uint32(n)
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("policy", "width", "height", "tonemap"),
+)
+def resolve_sharded(
+    state: RenderState,
+    policy: RendererPolicy,
+    exposure,
+    width: int,
+    height: int,
+    tonemap: bool = True,
+) -> jnp.ndarray:
+    """Merge sp-partial buckets (psum across 'sp' happens via the sum over
+    the leading axis — XLA turns it into a collective), median-of-means,
+    tonemap, and return the full [H, W, 3] frame (all_gather over 'dp')."""
+    merged = jnp.sum(state.buckets, axis=0)  # [B, 3, npix]
+    b = policy.accumulation_buckets
+    n_rounds = jnp.maximum(state.accumulations // jnp.uint32(b), 1).astype(jnp.float32)
+    scale = jnp.asarray(exposure, jnp.float32) / n_rounds
+    if policy.median and b == 5:
+        channels = [
+            sampling.median5(*[merged[k, c] for k in range(5)]) * scale
+            for c in range(3)
+        ]
+    else:
+        channels = [jnp.mean(merged[:, c, :], axis=0) * scale for c in range(3)]
+    r, g, bl = channels
+    if tonemap:
+        r, g, bl = color.tonemap_aces(r, g, bl)
+    img = jnp.stack(
+        [r.reshape(height, width), g.reshape(height, width), bl.reshape(height, width)],
+        axis=-1,
+    )
+    return img
+
+
+class ShardedRenderer:
+    """Mesh-parallel progressive renderer with the same API as render.api.
+    Renderer — the multi-chip production path."""
+
+    def __init__(
+        self,
+        scene: Scene,
+        policy: Optional[RendererPolicy] = None,
+        width: int = 256,
+        height: int = 256,
+        mesh: Optional[Mesh] = None,
+    ):
+        import dataclasses
+
+        self.policy = policy or RendererPolicy()
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.width, self.height = width, height
+        if (
+            float(scene.camera.half_width) * 2 != width
+            or float(scene.camera.half_height) * 2 != height
+        ):
+            scene = dataclasses.replace(scene, camera=scene.camera.resized(width, height))
+        self.scene = scene
+        self.state = create_sharded_state(width, height, self.policy, self.mesh)
+
+    def reset_accumulator(self):
+        self.state = create_sharded_state(
+            self.width, self.height, self.policy, self.mesh
+        )
+
+    def accumulate(self, n: int):
+        self.state = accumulate_n_sharded(
+            self.scene, self.policy, self.state, self.width, self.height, n, self.mesh
+        )
+
+    def render(self, tonemap: bool = True) -> np.ndarray:
+        img = resolve_sharded(
+            self.state, self.policy, self.scene.camera.exposure,
+            self.width, self.height, tonemap,
+        )
+        return np.asarray(img)[::-1]
+
+    def render_spp(self, spp: int, tonemap: bool = True) -> np.ndarray:
+        b = self.policy.accumulation_buckets
+        n_sp = self.mesh.shape["sp"]
+        import math
+
+        unit = b * n_sp // math.gcd(b, n_sp)
+        n = -(-spp // unit) * unit
+        self.accumulate(n)
+        return self.render(tonemap=tonemap)

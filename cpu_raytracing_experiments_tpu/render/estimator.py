@@ -1,0 +1,136 @@
+"""Progressive accumulation + median-of-means resolve.
+
+Port of the reference's accumulator design (/root/reference/
+Renderer.hpp:38-68, 436-478): radiance is accumulated round-robin into 5
+independent buckets (bucket = accumulation % 5); every 5th accumulation each
+bucket holds an equal number of samples and the resolve takes the per-pixel,
+per-channel *median of the 5 bucket means* — a firefly-robust estimator —
+scales by exposure/(accumulations/5), applies ACES and clamps.
+
+The accumulator (buckets + accumulation counter) IS the checkpointable
+render state: counter-based RNG makes resume bit-exact (see
+render/checkpoint.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import color, sampling
+from ..core.vec import Vec3
+from ..scene.scene import Scene
+from ..utils.config import RendererPolicy
+from . import renderer as _renderer
+
+
+def _pytree_dataclass(cls):
+    cls = dataclasses.dataclass(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+    return cls
+
+
+@_pytree_dataclass
+class RenderState:
+    """buckets: [B, 3, npix] f32; accumulations: u32 scalar."""
+
+    buckets: jnp.ndarray
+    accumulations: jnp.ndarray
+
+    @staticmethod
+    def create(width: int, height: int, policy: RendererPolicy) -> "RenderState":
+        return RenderState(
+            buckets=jnp.zeros(
+                (policy.accumulation_buckets, 3, width * height), jnp.float32
+            ),
+            accumulations=jnp.uint32(0),
+        )
+
+    def reset(self) -> "RenderState":
+        """ResetAccumulator (Renderer.hpp:64-67)."""
+        return RenderState(
+            buckets=jnp.zeros_like(self.buckets),
+            accumulations=jnp.uint32(0),
+        )
+
+
+def accumulate(
+    scene: Scene,
+    policy: RendererPolicy,
+    state: RenderState,
+    width: int,
+    height: int,
+) -> RenderState:
+    """One progressive sample per pixel into the current bucket
+    (Renderer.hpp:73-84: ++accumulations, bucket = accumulations % B)."""
+    acc = state.accumulations + jnp.uint32(1)
+    rad = _renderer.render_pass(scene, policy, acc, width, height)
+    bucket = (acc % jnp.uint32(policy.accumulation_buckets)).astype(jnp.int32)
+    sample = jnp.stack([rad.x, rad.y, rad.z], axis=0)
+    return RenderState(
+        buckets=state.buckets.at[bucket].add(sample),
+        accumulations=acc,
+    )
+
+
+def accumulate_n(
+    scene: Scene,
+    policy: RendererPolicy,
+    state: RenderState,
+    width: int,
+    height: int,
+    n: int,
+) -> RenderState:
+    """n accumulation passes fused into one compiled loop."""
+
+    def step(_, s):
+        return accumulate(scene, policy, s, width, height)
+
+    return jax.lax.fori_loop(0, n, step, state)
+
+
+def resolve(
+    state: RenderState,
+    policy: RendererPolicy,
+    exposure,
+    width: int,
+    height: int,
+    tonemap: bool = True,
+) -> jnp.ndarray:
+    """Median-of-means resolve + ACES (Renderer.hpp:436-478). Returns an
+    [H, W, 3] image, row 0 = bottom scanline. Caller is responsible for
+    invoking it only when accumulations % buckets == 0 (equal bucket
+    weights), as the reference does (:437)."""
+    b = policy.accumulation_buckets
+    n_rounds = jnp.maximum(state.accumulations // jnp.uint32(b), 1).astype(jnp.float32)
+    scale = jnp.asarray(exposure, jnp.float32) / n_rounds
+    if policy.median and b == 5:
+        channels = [
+            sampling.median5(*[state.buckets[k, c] for k in range(5)]) * scale
+            for c in range(3)
+        ]
+    elif policy.median:
+        channels = [
+            jnp.median(state.buckets[:, c, :], axis=0) * scale for c in range(3)
+        ]
+    else:  # average-of-buckets variant (Renderer.hpp:457-459)
+        channels = [
+            jnp.mean(state.buckets[:, c, :], axis=0) * scale for c in range(3)
+        ]
+    r, g, bl = channels
+    if tonemap:
+        r, g, bl = color.tonemap_aces(r, g, bl)
+    return jnp.stack(
+        [r.reshape(height, width), g.reshape(height, width), bl.reshape(height, width)],
+        axis=-1,
+    )
+
+
+def resolve_hdr(
+    state: RenderState, policy: RendererPolicy, exposure, width: int, height: int
+) -> jnp.ndarray:
+    """Linear-radiance resolve (no tonemap) — for HDR export and tests."""
+    return resolve(state, policy, exposure, width, height, tonemap=False)

@@ -1,0 +1,489 @@
+"""The wavefront path-tracing megakernel.
+
+TPU-native redesign of ``Renderer::Accumulate`` (/root/reference/
+Renderer.hpp:73-434). The reference fights CPU cache limits with 16x16-pixel
+tiles owning 256-ray SoA streams that are material-sorted and *compacted*
+every bounce; on TPU the idiomatic form is a flat ray SoA over the whole
+pixel grid, stepped by a ``lax.while_loop`` over bounces with **mask-based
+termination** — lanes are divergence-free, so the counting sort
+(DataStreams.hpp:221-253) and the dense rewrite at output_index
+(Renderer.hpp:357-404) are unnecessary; the while_loop's early exit when
+every lane is dead recovers the work savings of compaction at tile
+granularity.
+
+Structure of one bounce (stage names and order follow Renderer.hpp):
+  intersect -> closest-hit shade -> NEE + MIS -> shadow trace -> emissive-hit
+  MIS -> BRDF sample + Russian roulette -> miss/sky -> accumulate.
+
+RNG is bit-parity with the reference's counter scheme (see core/rng.py);
+renders with the same policy knobs sample exactly the same decision points.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng, sampling
+from ..core.vec import Quat, Vec3
+from ..ops import closures, intersect
+from ..scene.scene import Scene
+from ..utils.config import RendererPolicy
+
+FLT_MAX = jnp.float32(3.4028235e38)
+FLT_EPSILON = jnp.float32(1.1920929e-7)
+
+
+class PathState(NamedTuple):
+    """Per-ray SoA wavefront state — the TPU analog of RayStream's
+    double-buffered Buffer (DataStreams.hpp:74-105). No double buffering is
+    needed: the functional update IS the swap."""
+
+    bounce: jnp.ndarray  # i32 scalar
+    p: Vec3  # [R] ray origin
+    d: Vec3  # [R] ray direction
+    throughput: Vec3  # [R]
+    radiance: Vec3  # [R]
+    prev_pdf: jnp.ndarray  # [R] BRDF pdf of the previous bounce (for MIS)
+    alive: jnp.ndarray  # [R] bool
+
+
+def pixel_seeds_from_index(
+    i: jnp.ndarray, width: int, policy: RendererPolicy
+) -> jnp.ndarray:
+    """Per-pixel base seed from flat pixel index, bit-equal to
+    Renderer.hpp:107's schedule:
+    seed = (tile_index * TileSize + intra_tile_id) * (2*max_bounces + 1)
+    under the reference's 16x16 tile decomposition of the (padded) grid."""
+    tr = policy.tile_root
+    h_tiles = -(-width // tr)
+    x = i % jnp.uint32(width)
+    y = i // jnp.uint32(width)
+    launch = (y // tr) * jnp.uint32(h_tiles) + (x // tr)
+    tid = (y % tr) * jnp.uint32(tr) + (x % tr)
+    return (launch * jnp.uint32(policy.tile_size) + tid) * jnp.uint32(
+        2 * policy.max_bounces + 1
+    )
+
+
+def pixel_seeds(width: int, height: int, policy: RendererPolicy) -> jnp.ndarray:
+    return pixel_seeds_from_index(
+        jnp.arange(width * height, dtype=jnp.uint32), width, policy
+    )
+
+
+def generate_camera_rays(
+    camera, x, y, accumulation, seeds, enable_dof: bool
+) -> Tuple[Vec3, Vec3]:
+    """Primary ray generation (Camera.hpp:80-88 + Renderer.hpp:113-127).
+
+    With `enable_dof`, implements the thin-lens model the reference declares
+    but never wires up (Camera.hpp:17-26 vs 80-88): sample the aperture
+    disk, retarget through the focus plane.
+    """
+    state = rng.hash_2d(accumulation, seeds)
+    n_draws = 4 if enable_dof else 2
+    state, ds = rng.draws(state, n_draws)
+    vx = x.astype(jnp.float32) + ds[0] - camera.half_width
+    vy = y.astype(jnp.float32) + ds[1] - camera.half_height
+    vz = jnp.broadcast_to(camera.z, vx.shape)
+    view_dir = Vec3(vx, vy, vz)
+    origin = Vec3(
+        jnp.broadcast_to(camera.pos.x, vx.shape),
+        jnp.broadcast_to(camera.pos.y, vx.shape),
+        jnp.broadcast_to(camera.pos.z, vx.shape),
+    )
+    if enable_dof:
+        # focus plane lies at view-space depth focus_distance along -Z
+        scale = camera.focus_distance / jnp.maximum(-camera.z, 1e-6)
+        focal_pt = view_dir * scale
+        lx, ly = sampling.disk(ds[3], ds[2])
+        lens = Vec3(lx * camera.aperture_radius, ly * camera.aperture_radius,
+                    jnp.zeros_like(lx))
+        local_dir = (focal_pt - lens).normalize()
+        world_dir = camera.orient.rotate(local_dir)
+        world_lens = camera.orient.rotate(lens)
+        return origin + world_lens, world_dir
+    direction = camera.orient.rotate(view_dir.normalize())
+    return origin, direction
+
+
+def _closest_hit_frame(scene: Scene, state: PathState, tfar, prim_id, is_tri):
+    """Closest-hit shading inputs (Renderer.hpp:169-214): hit point,
+    backface-flipped normal, tangent quat, local view vector, offset origin."""
+    safe_sphere = jnp.maximum(jnp.where(is_tri, 0, prim_id), 0)
+    hit_pt = state.p + state.d * tfar
+    n_sphere = (hit_pt - scene.spheres.center.gather(safe_sphere)).normalize()
+    mat_id = scene.spheres.material_id[safe_sphere]
+    if scene.triangles is not None:
+        safe_tri = jnp.maximum(jnp.where(is_tri, prim_id, 0), 0)
+        n_tri = scene.triangles.normal.gather(safe_tri)
+        n = n_tri.where(is_tri, n_sphere)
+        mat_id = jnp.where(is_tri, scene.triangles.material_id[safe_tri], mat_id)
+    else:
+        n = n_sphere
+    backface = n.dot(state.d) >= 0.0
+    n = (-n).where(backface, n)
+    t = sampling.tangent_space(n)
+    v_local = sampling.to_local(t, -state.d)
+    p_offset = hit_pt + n * 1e-4
+    return p_offset, n, t, v_local, mat_id
+
+
+def _closure_eval(policy, albedo, f0, alpha, l_local, v_local):
+    if policy.brdf == "lambertian":
+        return closures.lambert_eval(albedo, l_local, v_local)
+    return closures.ggx_eval(f0, alpha, l_local, v_local)
+
+
+def _closure_pdf(policy, alpha, l_local, v_local):
+    if policy.brdf == "lambertian":
+        return closures.lambert_pdf(l_local)
+    return closures.ggx_pdf(alpha, l_local, v_local)
+
+
+def _closure_sample(policy, albedo, f0, alpha, v_local, u, v):
+    if policy.brdf == "lambertian":
+        return closures.lambert_sample(albedo, v_local, u, v)
+    return closures.ggx_sample(f0, alpha, v_local, u, v)
+
+
+def _next_event_estimation(
+    scene: Scene,
+    policy: RendererPolicy,
+    state: PathState,
+    accumulation,
+    seeds,
+    hit,
+    prim_id,
+    is_tri,
+    p_offset: Vec3,
+    t_quat: Quat,
+    v_local: Vec3,
+    albedo: Vec3,
+    f0: Vec3,
+    alpha,
+):
+    """NEE with MIS (Renderer.hpp:247-314): pick one light uniformly,
+    cone-sample sphere lights / area-sample triangle lights, trace a shadow
+    ray, add the power-heuristic-weighted contribution.
+
+    The reference's early-continue rejections (self-hit, inside-sphere,
+    cone-below-horizon, sample-below-hemisphere, zero radiance) become masks
+    on the shadow radiance."""
+    n_sphere_lights = int(scene.lights.shape[0])
+    n_tri_lights = 0 if scene.tri_lights is None else int(scene.tri_lights.shape[0])
+    light_count = n_sphere_lights + n_tri_lights
+    if light_count == 0:
+        return Vec3.zeros(state.p.x.shape)
+    light_selection_pdf = 1.0 / float(light_count)
+
+    site = rng.hash_2d(accumulation, seeds + jnp.uint32(2) * state.bounce.astype(jnp.uint32))
+    site, (t_draw, s_draw) = rng.draws(site, 2)
+    site, selected = rng.rand_bounded_int(site, jnp.uint32(light_count))
+    selected = selected.astype(jnp.int32)
+
+    zeros = jnp.zeros_like(state.p.x)
+    l_dir = Vec3(zeros, zeros, zeros)
+    l_dist = zeros
+    l_pdf = zeros
+    l_emission = Vec3(zeros, zeros, zeros)
+    valid = jnp.zeros_like(hit)
+
+    if n_sphere_lights > 0:
+        sel_s = jnp.clip(selected, 0, n_sphere_lights - 1)
+        light_prim = scene.lights[sel_s]
+        is_sphere_sel = selected < n_sphere_lights
+        lc = scene.spheres.center.gather(light_prim)
+        lr_sq = scene.spheres.radius_sq[light_prim]
+        wc = lc - p_offset
+        center_dist2 = wc.dot(wc)
+        ok = (
+            hit
+            & is_sphere_sel
+            & ~((~is_tri) & (light_prim == prim_id))  # self (Renderer.hpp:263)
+            & (center_dist2 > lr_sq)  # inside sphere (:266)
+        )
+        center_dist = jnp.sqrt(center_dist2)
+        wc = wc * (1.0 / jnp.maximum(center_dist, 1e-20))
+        sin_theta_max2 = lr_sq / jnp.maximum(center_dist2, 1e-20)
+        # entire cone below hemisphere (:270-273)
+        n_dot_w = sampling.to_local(t_quat, wc).z
+        ok = ok & ~((n_dot_w < 0.0) & (sin_theta_max2 < n_dot_w * n_dot_w))
+        dir_s, dist_s, pdf_s = sampling.sample_direction_to_sphere(
+            wc, sin_theta_max2, center_dist, lr_sq, t_draw, s_draw
+        )
+        em_s = scene.materials.emission.gather(scene.spheres.material_id[light_prim])
+        l_dir = dir_s.where(ok, l_dir)
+        l_dist = jnp.where(ok, dist_s, l_dist)
+        l_pdf = jnp.where(ok, pdf_s, l_pdf)
+        l_emission = em_s.where(ok, l_emission)
+        valid = valid | ok
+
+    if n_tri_lights > 0:
+        sel_t = jnp.clip(selected - n_sphere_lights, 0, n_tri_lights - 1)
+        light_tri = scene.tri_lights[sel_t]
+        is_tri_sel = selected >= n_sphere_lights
+        tri = scene.triangles
+        v0 = tri.v0.gather(light_tri)
+        e1 = tri.e1.gather(light_tri)
+        e2 = tri.e2.gather(light_tri)
+        ln = tri.normal.gather(light_tri)
+        area = tri.area[light_tri]
+        # uniform point on triangle via sqrt warp
+        su = jnp.sqrt(jnp.maximum(t_draw, 0.0))
+        pt = v0 + e1 * (su * (1.0 - s_draw)) + e2 * (su * s_draw)
+        to_light = pt - p_offset
+        dist2 = to_light.dot(to_light)
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-20))
+        dir_t = to_light * (1.0 / dist)
+        cos_light = jnp.abs(dir_t.dot(ln))
+        pdf_t = dist2 / jnp.maximum(area * cos_light, 1e-9)
+        ok = (
+            hit
+            & is_tri_sel
+            & ~(is_tri & (light_tri == prim_id))
+            & (cos_light > 1e-6)
+        )
+        em_t = scene.materials.emission.gather(tri.material_id[light_tri])
+        l_dir = dir_t.where(ok, l_dir)
+        l_dist = jnp.where(ok, dist - 1e-4, l_dist)
+        l_pdf = jnp.where(ok, pdf_t, l_pdf)
+        l_emission = em_t.where(ok, l_emission)
+        valid = valid | ok
+
+    l_local = sampling.to_local(t_quat, l_dir)
+    valid = valid & (l_local.z >= 0.0)  # sample below hemisphere (:276)
+    shadow_radiance = (
+        l_emission
+        * state.throughput
+        * _closure_eval(policy, albedo, f0, alpha, l_local, v_local)
+    )
+    l_pdf = l_pdf * light_selection_pdf  # (:282)
+    brdf_pdf = _closure_pdf(policy, alpha, l_local, v_local)
+    shadow_radiance = shadow_radiance * sampling.power_heuristic_over_f(l_pdf, brdf_pdf)
+    valid = valid & (shadow_radiance.max_component() > 0.0)  # (:285)
+
+    # Shadow trace (Renderer.hpp:302-314). Masked-out lanes get tfar=0 so the
+    # any-hit test can never mark them occluded (result unused anyway).
+    occluded = intersect.occluded_scene(
+        scene, p_offset, l_dir, jnp.where(valid, l_dist, 0.0)
+    )
+    contribution = shadow_radiance.where(valid & ~occluded, Vec3.zeros(zeros.shape))
+    return contribution
+
+
+def _emissive_hit(
+    scene: Scene,
+    policy: RendererPolicy,
+    state: PathState,
+    hit,
+    prim_id,
+    is_tri,
+    mat_id,
+    tfar,
+    v_local: Vec3,
+):
+    """Emissive-primitive hit with MIS (Renderer.hpp:319-353). Distance to
+    the light center is recovered with the law-of-cosines trick (:328-332)
+    so the previous ray origin isn't needed."""
+    em = scene.materials.emission.gather(mat_id)
+    is_emissive = hit & (em.max_component() > FLT_EPSILON)
+    n_sphere_lights = int(scene.lights.shape[0])
+    n_tri_lights = 0 if scene.tri_lights is None else int(scene.tri_lights.shape[0])
+    light_count = n_sphere_lights + n_tri_lights
+    if not policy.mis or light_count == 0:
+        weight = jnp.ones_like(tfar)
+    else:
+        light_selection_pdf = 1.0 / float(light_count)
+        safe_sphere = jnp.maximum(jnp.where(is_tri, 0, prim_id), 0)
+        radius2 = scene.spheres.radius_sq[safe_sphere]
+        n_dot_v = v_local.z
+        center_dist2 = tfar * (tfar + n_dot_v * (2.0 * jnp.sqrt(radius2))) + radius2
+        light_pdf = light_selection_pdf * sampling.sphere_pdf(
+            radius2, jnp.maximum(center_dist2, 1e-20)
+        )
+        if n_tri_lights > 0:
+            safe_tri = jnp.maximum(jnp.where(is_tri, prim_id, 0), 0)
+            area = scene.triangles.area[safe_tri]
+            cos_light = jnp.abs(n_dot_v)  # |cos| at the light == local view z
+            tri_pdf = light_selection_pdf * (tfar * tfar) / jnp.maximum(
+                area * cos_light, 1e-9
+            )
+            light_pdf = jnp.where(is_tri, tri_pdf, light_pdf)
+        mis_weight = sampling.power_heuristic(state.prev_pdf, light_pdf)
+        # bounce 0 was BRDF-blind: add emission unweighted (:344-353)
+        weight = jnp.where(state.bounce > 0, mis_weight, 1.0)
+    contribution = (state.throughput * em) * weight
+    zero = Vec3.zeros(tfar.shape)
+    return contribution.where(is_emissive, zero)
+
+
+def trace_rays(
+    scene: Scene,
+    policy: RendererPolicy,
+    accumulation,
+    seeds,
+    p0: Vec3,
+    d0: Vec3,
+    vma_axes: tuple = (),
+) -> Vec3:
+    """Run the full bounce loop for a batch of primary rays; returns per-ray
+    radiance. This is the body the reference runs per 256-ray tile stream
+    (Renderer.hpp:131-432), expressed as one masked while_loop."""
+    shape = p0.x.shape
+    # derive init arrays from the ray inputs so they inherit device-varying
+    # status under shard_map (required for while_loop carry type stability)
+    zero = p0.x * 0.0
+    one = zero + 1.0
+    init = PathState(
+        bounce=jnp.int32(0),
+        p=p0,
+        d=d0,
+        throughput=Vec3(one, one, one),
+        radiance=Vec3(zero, zero, zero),
+        prev_pdf=zero,
+        alive=zero < 1.0,
+    )
+    if vma_axes:
+        # under shard_map the carry must be device-varying from the start
+        # (replicated scene constants would otherwise flip the carry type
+        # mid-loop); pvary marks each leaf along any axes it lacks.
+        def _pvary(a):
+            have = getattr(jax.typeof(a), "vma", frozenset())
+            missing = tuple(ax for ax in vma_axes if ax not in have)
+            return jax.lax.pvary(a, missing) if missing else a
+
+        init = jax.tree.map(_pvary, init)
+
+    def cond(state: PathState):
+        return (state.bounce < policy.max_bounces) & jnp.any(state.alive)
+
+    def body(state: PathState) -> PathState:
+        # ---- INTERSECTION (Renderer.hpp:165) ----
+        tfar, prim_id, is_tri = intersect.intersect_scene(scene, state.p, state.d)
+        hit = state.alive & (prim_id >= 0)
+        miss = state.alive & (prim_id < 0)
+
+        # ---- CLOSEST HIT (:169-214) ----
+        p_offset, n, t_quat, v_local, mat_id = _closest_hit_frame(
+            scene, state, tfar, prim_id, is_tri
+        )
+        albedo = scene.materials.albedo.gather(mat_id)
+        f0 = scene.materials.f0.gather(mat_id)
+        rough = scene.materials.roughness[mat_id]
+        alpha = rough * rough
+
+        radiance = state.radiance
+
+        # ---- NEE + SHADOW (:247-314) ----
+        if policy.mis:
+            radiance = radiance + _next_event_estimation(
+                scene, policy, state, accumulation, seeds, hit, prim_id, is_tri,
+                p_offset, t_quat, v_local, albedo, f0, alpha,
+            )
+
+        # ---- EMISSIVE HIT (:319-353) ----
+        radiance = radiance + _emissive_hit(
+            scene, policy, state, hit, prim_id, is_tri, mat_id, tfar, v_local
+        )
+
+        # ---- BRDF SAMPLE + RUSSIAN ROULETTE (:357-404) ----
+        site = rng.hash_2d(
+            accumulation,
+            seeds + jnp.uint32(2) * state.bounce.astype(jnp.uint32) + jnp.uint32(1),
+        )
+        site, (u_draw, v_draw, rr_draw) = rng.draws(site, 3)
+        bsdf = _closure_sample(policy, albedo, f0, alpha, v_local, u_draw, v_draw)
+        new_throughput = state.throughput * bsdf.estimator
+        if policy.russian_roulette:
+            q = 1.0 - new_throughput.max_component()
+            rr_kill = rr_draw < q
+            new_throughput = new_throughput * (
+                1.0 / jnp.maximum(FLT_EPSILON, 1.0 - q)
+            )
+        else:
+            rr_kill = jnp.zeros_like(hit)
+        world_dir = sampling.to_world(t_quat, bsdf.direction)
+        # pdf of the sampled direction, stored for next-bounce MIS. The
+        # reference evaluates the closure pdf *after* the world transform
+        # (Renderer.hpp:386,401) — a frame mixup; we evaluate in local frame.
+        next_pdf = _closure_pdf(policy, alpha, bsdf.direction, v_local)
+
+        # ---- MISS / SKY (:408-420) ----
+        sky = scene.sky.sample(state.d)
+        thr = state.throughput
+        if policy.sky_bug_compat:
+            # reference bug: all channels scaled by throughput.r (:416-418)
+            sky_contrib = Vec3(thr.x * sky.x, thr.x * sky.y, thr.x * sky.z)
+        else:
+            sky_contrib = thr * sky
+        sky_on = miss & scene.sky.has_ambient()
+        radiance = radiance + sky_contrib.where(sky_on, Vec3.zeros(shape))
+
+        alive_next = hit & ~rr_kill
+        return PathState(
+            bounce=state.bounce + 1,
+            p=p_offset.where(alive_next, state.p),
+            d=world_dir.where(alive_next, state.d),
+            throughput=new_throughput.where(alive_next, state.throughput),
+            radiance=radiance,
+            prev_pdf=jnp.where(alive_next, next_pdf, state.prev_pdf),
+            alive=alive_next,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    return final.radiance
+
+
+def render_pass(
+    scene: Scene,
+    policy: RendererPolicy,
+    accumulation,
+    width: int,
+    height: int,
+    pixel_start=0,
+    npix: int = None,
+    vma_axes: tuple = (),
+) -> Vec3:
+    """One progressive sample for a contiguous flat-pixel range: returns
+    radiance Vec3 with [npix] flat arrays (row 0 = bottom scanline, as in
+    the reference's y-up pixel addressing). `pixel_start` may be a traced
+    scalar — this is how shard_map gives each device its pixel slice while
+    keeping seeds identical to a single-device render.
+
+    Rays are processed in `policy.rays_per_chunk` microbatches via lax.map —
+    the HBM-scale analog of the reference's 256-ray L1-resident tiles."""
+    if npix is None:
+        npix = width * height
+    i = jnp.asarray(pixel_start, jnp.uint32) + jnp.arange(npix, dtype=jnp.uint32)
+    x = (i % jnp.uint32(width)).astype(jnp.int32)
+    y = (i // jnp.uint32(width)).astype(jnp.int32)
+    seeds = pixel_seeds_from_index(i, width, policy)
+    accumulation = jnp.asarray(accumulation, jnp.uint32)
+
+    chunk = min(policy.rays_per_chunk, npix)
+    padded = -(-npix // chunk) * chunk
+
+    def pad(a):
+        return jnp.pad(a, (0, padded - npix))
+
+    xs = (pad(x).reshape(-1, chunk), pad(y).reshape(-1, chunk), pad(seeds).reshape(-1, chunk))
+
+    def chunk_fn(args):
+        cx, cy, cseed = args
+        p0, d0 = generate_camera_rays(
+            scene.camera, cx, cy, accumulation, cseed, policy.enable_dof
+        )
+        return trace_rays(scene, policy, accumulation, cseed, p0, d0, vma_axes)
+
+    if padded == chunk:
+        rad = chunk_fn((xs[0][0], xs[1][0], xs[2][0]))
+        return Vec3(rad.x[:npix], rad.y[:npix], rad.z[:npix])
+    rad = jax.lax.map(chunk_fn, xs)
+    return Vec3(
+        rad.x.reshape(-1)[:npix],
+        rad.y.reshape(-1)[:npix],
+        rad.z.reshape(-1)[:npix],
+    )

@@ -1,0 +1,68 @@
+"""Renderer configuration.
+
+The reference configures itself with compile-time template knobs
+(``RendererPolicy`` NTTPs, /root/reference/Renderer.hpp:19-26) plus
+preprocessor switches (``BRDF``, ``MIS``, ``USEBVH``, ``MEDIAN``,
+Renderer.hpp:70-71, BVH.hpp:307, Renderer.hpp:450). Here those become one
+frozen dataclass resolved at *trace time*: every field is a static Python
+value, so each knob combination compiles to its own specialized XLA
+executable with zero runtime branching — the exact analog of the NTTP
+design, but driven from config/CLI instead of recompiling C++.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class RendererPolicy:
+    """Static render-policy knobs (Renderer.hpp:19-26 + macro switches)."""
+
+    log_tile: int = 4  # tiles of (2^log_tile)^2 pixels; only affects the RNG
+    # seed schedule (kept for bit-parity with the reference's
+    # per-tile path indexing, Renderer.hpp:107)
+    samples_per_pixel: int = 1  # per accumulate pass (reference: fixed 1)
+    max_material_id: int = 64
+    max_bounces: int = 16
+    max_radiance: float = 1e2  # declared-but-unused in the reference too
+    accumulation_buckets: int = 5  # median-of-means buckets (Renderer.hpp:41)
+
+    brdf: str = "lambertian"  # 'lambertian' | 'ggx'  (#define BRDF 0|1)
+    mis: bool = True  # #define MIS true
+    use_bvh: bool = False  # #define USEBVH false (reference ships brute force)
+    median: bool = True  # #define MEDIAN true (median vs average resolve)
+
+    # TPU-specific execution knobs (no reference equivalent):
+    rays_per_chunk: int = 1 << 15  # microbatch size for the wavefront loop;
+    # bounds the [rays x prims] intersection working set to fit on-chip
+    sky_bug_compat: bool = False  # reproduce Renderer.hpp:416-418 (throughput.r
+    # multiplies all three sky channels) for bit-compatibility testing
+    russian_roulette: bool = True
+    enable_dof: bool = False  # thin-lens depth of field: the reference declares
+    # aperture/focus (Camera.hpp:17-26) but never uses them in generate_ray;
+    # we implement real DoF behind this switch
+
+    @property
+    def tile_root(self) -> int:
+        return 1 << self.log_tile
+
+    @property
+    def tile_size(self) -> int:
+        return self.tile_root * self.tile_root
+
+    def __post_init__(self):
+        assert self.brdf in ("lambertian", "ggx"), self.brdf
+        assert self.accumulation_buckets % 2 == 1, "median needs odd buckets"
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardingConfig:
+    """How to lay the render over a device mesh (no reference equivalent —
+    the reference is single-process, SURVEY.md §2.3)."""
+
+    data_axis: str = "dp"  # pixels sharded over this axis
+    sample_axis: Optional[str] = None  # optional spp-sharding axis ('sp')
+
+
+DEFAULT_POLICY = RendererPolicy()
