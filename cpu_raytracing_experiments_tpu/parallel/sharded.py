@@ -112,7 +112,7 @@ def accumulate_n_sharded(
                 + sp.astype(jnp.uint32)
                 + jnp.uint32(n_sp) * k.astype(jnp.uint32)
             )
-            rad = _renderer.render_pass(
+            rad, _ = _renderer.render_pass(
                 scene, policy, acc, width, height,
                 pixel_start=pixel_start, npix=local_pix, vma_axes=("dp", "sp"),
             )

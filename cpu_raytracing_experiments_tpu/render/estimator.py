@@ -67,7 +67,7 @@ def accumulate(
     """One progressive sample per pixel into the current bucket
     (Renderer.hpp:73-84: ++accumulations, bucket = accumulations % B)."""
     acc = state.accumulations + jnp.uint32(1)
-    rad = _renderer.render_pass(scene, policy, acc, width, height)
+    rad, _ = _renderer.render_pass(scene, policy, acc, width, height)
     bucket = (acc % jnp.uint32(policy.accumulation_buckets)).astype(jnp.int32)
     sample = jnp.stack([rad.x, rad.y, rad.z], axis=0)
     return RenderState(

@@ -47,6 +47,9 @@ class PathState(NamedTuple):
     radiance: Vec3  # [R]
     prev_pdf: jnp.ndarray  # [R] BRDF pdf of the previous bounce (for MIS)
     alive: jnp.ndarray  # [R] bool
+    ray_count: jnp.ndarray  # u32 scalar: useful rays traced (closest-hit +
+    # valid shadow rays) — the Mrays/s numerator; dead-code-eliminated by XLA
+    # whenever the caller ignores it
 
 
 def pixel_seeds_from_index(
@@ -176,7 +179,7 @@ def _next_event_estimation(
     n_tri_lights = 0 if scene.tri_lights is None else int(scene.tri_lights.shape[0])
     light_count = n_sphere_lights + n_tri_lights
     if light_count == 0:
-        return Vec3.zeros(state.p.x.shape)
+        return Vec3.zeros(state.p.x.shape), jnp.zeros_like(hit)
     light_selection_pdf = 1.0 / float(light_count)
 
     site = rng.hash_2d(accumulation, seeds + jnp.uint32(2) * state.bounce.astype(jnp.uint32))
@@ -271,7 +274,7 @@ def _next_event_estimation(
         scene, p_offset, l_dir, jnp.where(valid, l_dist, 0.0)
     )
     contribution = shadow_radiance.where(valid & ~occluded, Vec3.zeros(zeros.shape))
-    return contribution
+    return contribution, valid
 
 
 def _emissive_hit(
@@ -345,6 +348,7 @@ def trace_rays(
         radiance=Vec3(zero, zero, zero),
         prev_pdf=zero,
         alive=zero < 1.0,
+        ray_count=jnp.uint32(0),
     )
     if vma_axes:
         # under shard_map the carry must be device-varying from the start
@@ -378,11 +382,13 @@ def trace_rays(
         radiance = state.radiance
 
         # ---- NEE + SHADOW (:247-314) ----
+        shadow_traced = jnp.zeros_like(hit)
         if policy.mis:
-            radiance = radiance + _next_event_estimation(
+            nee, shadow_traced = _next_event_estimation(
                 scene, policy, state, accumulation, seeds, hit, prim_id, is_tri,
                 p_offset, t_quat, v_local, albedo, f0, alpha,
             )
+            radiance = radiance + nee
 
         # ---- EMISSIVE HIT (:319-353) ----
         radiance = radiance + _emissive_hit(
@@ -423,6 +429,10 @@ def trace_rays(
         radiance = radiance + sky_contrib.where(sky_on, Vec3.zeros(shape))
 
         alive_next = hit & ~rr_kill
+        rays_this_bounce = (
+            jnp.sum(state.alive.astype(jnp.uint32))
+            + jnp.sum(shadow_traced.astype(jnp.uint32))
+        )
         return PathState(
             bounce=state.bounce + 1,
             p=p_offset.where(alive_next, state.p),
@@ -431,10 +441,11 @@ def trace_rays(
             radiance=radiance,
             prev_pdf=jnp.where(alive_next, next_pdf, state.prev_pdf),
             alive=alive_next,
+            ray_count=state.ray_count + rays_this_bounce,
         )
 
     final = jax.lax.while_loop(cond, body, init)
-    return final.radiance
+    return final.radiance, final.ray_count
 
 
 def render_pass(
@@ -479,11 +490,14 @@ def render_pass(
         return trace_rays(scene, policy, accumulation, cseed, p0, d0, vma_axes)
 
     if padded == chunk:
-        rad = chunk_fn((xs[0][0], xs[1][0], xs[2][0]))
-        return Vec3(rad.x[:npix], rad.y[:npix], rad.z[:npix])
-    rad = jax.lax.map(chunk_fn, xs)
-    return Vec3(
-        rad.x.reshape(-1)[:npix],
-        rad.y.reshape(-1)[:npix],
-        rad.z.reshape(-1)[:npix],
+        rad, count = chunk_fn((xs[0][0], xs[1][0], xs[2][0]))
+        return Vec3(rad.x[:npix], rad.y[:npix], rad.z[:npix]), count
+    rad, counts = jax.lax.map(chunk_fn, xs)
+    return (
+        Vec3(
+            rad.x.reshape(-1)[:npix],
+            rad.y.reshape(-1)[:npix],
+            rad.z.reshape(-1)[:npix],
+        ),
+        jnp.sum(counts),
     )
