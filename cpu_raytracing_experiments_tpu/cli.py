@@ -1,0 +1,193 @@
+"""Command-line driver.
+
+Replaces the reference's interactive application shell (/root/reference/
+Application.cpp) for headless/production use: render, resume, bench, and a
+live progressive viewer. The reference's `main` ignores argv entirely
+(Application.cpp:538-542) and is configured by recompiling; here every
+policy knob is a flag.
+
+  python -m cpu_raytracing_experiments_tpu.cli render --scene default \
+      --width 512 --height 512 --spp 125 --out out.png --hdr out.hdr
+  python -m cpu_raytracing_experiments_tpu.cli render ... \
+      --checkpoint state.npz --checkpoint-every 50    # resumable
+  python -m cpu_raytracing_experiments_tpu.cli bench
+  python -m cpu_raytracing_experiments_tpu.cli view --scene cornell --port 8000
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _policy_from_args(args):
+    from .utils.config import RendererPolicy
+
+    return RendererPolicy(
+        max_bounces=args.bounces,
+        brdf="ggx" if args.ggx else "lambertian",
+        mis=not args.no_mis,
+        use_bvh=args.bvh,
+        median=not args.average,
+        rays_per_chunk=args.chunk,
+        enable_dof=args.dof,
+        sky_bug_compat=args.sky_bug_compat,
+        russian_roulette=not args.no_rr,
+    )
+
+
+def _build_scene(args):
+    from .scene import accel, builders
+
+    if args.scene not in builders.SCENES:
+        sys.exit(f"unknown scene {args.scene!r}; available: {list(builders.SCENES)}")
+    kwargs = {}
+    if args.scene == "bvh_test" and args.spheres:
+        kwargs["num_spheres"] = args.spheres
+    scene = builders.SCENES[args.scene](args.width, args.height, **kwargs)
+    if args.hdri:
+        import dataclasses
+
+        from .scene.scene import Sky
+        from .utils import image as image_io
+
+        scene = dataclasses.replace(
+            scene,
+            sky=Sky.from_image(image_io.read_hdr(args.hdri), ambient=(1.0, 1.0, 1.0)),
+        )
+    if args.bvh:
+        scene = accel.with_bvh(scene)
+    return scene
+
+
+def _add_common(p: argparse.ArgumentParser):
+    p.add_argument("--scene", default="default")
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--spp", type=int, default=25)
+    p.add_argument("--bounces", type=int, default=8)
+    p.add_argument("--chunk", type=int, default=1 << 17, help="rays per microbatch")
+    p.add_argument("--bvh", action="store_true", help="BVH traversal (default: brute force, as the reference ships)")
+    p.add_argument("--ggx", action="store_true", help="GGX closure instead of lambertian")
+    p.add_argument("--no-mis", action="store_true")
+    p.add_argument("--no-rr", action="store_true", help="disable Russian roulette")
+    p.add_argument("--average", action="store_true", help="average-of-buckets instead of median-of-means")
+    p.add_argument("--dof", action="store_true", help="thin-lens depth of field")
+    p.add_argument("--sky-bug-compat", action="store_true", help="reproduce the reference's throughput.r sky bug")
+    p.add_argument("--hdri", help="equirect .hdr environment map for the sky")
+    p.add_argument("--spheres", type=int, help="sphere count for bvh_test scene")
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--metrics", help="JSONL metrics output path")
+    p.add_argument("--quiet", action="store_true")
+
+
+def cmd_render(args):
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from .render import checkpoint as ckpt
+    from .render.api import Renderer
+    from .utils import image as image_io
+    from .utils.metrics import MetricsLogger
+
+    policy = _policy_from_args(args)
+    scene = _build_scene(args)
+    r = Renderer(scene, policy, args.width, args.height)
+    log = MetricsLogger(args.metrics, quiet=args.quiet)
+
+    if args.checkpoint and ckpt.exists(args.checkpoint):
+        r.state = ckpt.load(args.checkpoint, policy, args.width, args.height)
+        log.log(event="resume", path=args.checkpoint, spp=int(r.state.accumulations))
+
+    b = policy.accumulation_buckets
+    target = -(-args.spp // b) * b
+    step = args.checkpoint_every or target
+    step = -(-step // b) * b
+    while int(r.state.accumulations) < target:
+        n = min(step, target - int(r.state.accumulations))
+        t0 = time.perf_counter()
+        r.accumulate(n)
+        import jax
+
+        jax.block_until_ready(r.state.buckets)
+        dt = time.perf_counter() - t0
+        log.log_step(
+            spp=int(r.state.accumulations),
+            step_wall=dt,
+            width=args.width,
+            height=args.height,
+            buckets=np.asarray(r.state.buckets),
+        )
+        if args.checkpoint:
+            ckpt.save(args.checkpoint, r.state, policy, args.width, args.height)
+
+    if args.out:
+        image_io.store(args.out, r.render(tonemap=True))
+        log.log(event="wrote", path=args.out)
+    if args.hdr_out:
+        image_io.store(args.hdr_out, r.render(tonemap=False))
+        log.log(event="wrote", path=args.hdr_out)
+    if not (args.out or args.hdr_out):
+        img = r.render(tonemap=True)
+        log.log(event="done", spp=int(r.state.accumulations), mean=float(img.mean()))
+
+
+def cmd_bench(args):
+    import runpy
+    import pathlib
+
+    sys.argv = ["bench.py"]
+    runpy.run_path(str(pathlib.Path(__file__).resolve().parents[1] / "bench.py"), run_name="__main__")
+
+
+def cmd_scenes(args):
+    from .scene import builders
+
+    for name in builders.SCENES:
+        print(name)
+
+
+def cmd_view(args):
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from .viewer import serve
+
+    policy = _policy_from_args(args)
+    scene = _build_scene(args)
+    serve(scene, policy, args.width, args.height, port=args.port)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="cpu_raytracing_experiments_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("render", help="headless render to image file")
+    _add_common(p)
+    p.add_argument("--out", help="tonemapped output (.png)")
+    p.add_argument("--hdr-out", help="linear radiance output (.hdr/.npy)")
+    p.add_argument("--checkpoint", help="checkpoint path (resumes if it exists)")
+    p.add_argument("--checkpoint-every", type=int, default=0, help="spp between checkpoint writes")
+    p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("bench", help="run the standard benchmark")
+    p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("scenes", help="list built-in scenes")
+    p.set_defaults(fn=cmd_scenes)
+
+    p = sub.add_parser("view", help="live progressive viewer (HTTP)")
+    _add_common(p)
+    p.add_argument("--port", type=int, default=8000)
+    p.set_defaults(fn=cmd_view)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -177,12 +177,38 @@ def occluded_triangles(
 # ---------------------------------------------------------------------------
 # Scene-level dispatch: spheres + optional triangles, optional Pallas kernel.
 # ---------------------------------------------------------------------------
-def intersect_scene(scene, p: Vec3, d: Vec3, use_pallas: bool = False):
+def intersect_scene(
+    scene, p: Vec3, d: Vec3, use_pallas: bool = False, use_bvh: bool = False
+):
     """Closest hit over all scene geometry.
 
     Returns (tfar [R], prim_id [R], is_triangle [R] bool). prim_id indexes
     into spheres or triangles depending on is_triangle; -1 = miss.
+
+    use_bvh selects the stackless threaded-BVH traversal (requires
+    scene.accel.with_bvh); the default brute-force battery matches the
+    reference's shipped USEBVH=false configuration (BVH.hpp:307).
     """
+    if use_bvh and scene.sphere_bvh is not None:
+        from ..bvh import traverse
+
+        tfar, prim_id = traverse.traverse_closest(
+            scene.sphere_bvh, p, d,
+            traverse.sphere_leaf_test(scene.spheres.center, scene.spheres.radius_sq),
+        )
+        is_tri = jnp.zeros_like(prim_id, bool)
+        if scene.triangles is not None and scene.tri_bvh is not None:
+            tri = scene.triangles
+            t2, id2 = traverse.traverse_closest(
+                scene.tri_bvh, p, d,
+                traverse.triangle_leaf_test(tri.v0, tri.e1, tri.e2),
+                tfar0=tfar,
+            )
+            hit_tri = id2 >= 0
+            prim_id = jnp.where(hit_tri, id2, prim_id)
+            tfar = jnp.where(hit_tri, t2, tfar)
+            is_tri = hit_tri
+        return tfar, prim_id, is_tri
     if use_pallas and _pk.available() and scene.triangles is None:
         tfar, prim_id = _pk.intersect_spheres_pallas(
             p, d, scene.spheres.center, scene.spheres.radius_sq
@@ -202,7 +228,24 @@ def intersect_scene(scene, p: Vec3, d: Vec3, use_pallas: bool = False):
     return tfar, prim_id, is_tri
 
 
-def occluded_scene(scene, p: Vec3, d: Vec3, tfar: jnp.ndarray, use_pallas: bool = False):
+def occluded_scene(
+    scene, p: Vec3, d: Vec3, tfar: jnp.ndarray,
+    use_pallas: bool = False, use_bvh: bool = False,
+):
+    if use_bvh and scene.sphere_bvh is not None:
+        from ..bvh import traverse
+
+        occ = traverse.traverse_shadow(
+            scene.sphere_bvh, p, d, tfar,
+            traverse.sphere_leaf_test(scene.spheres.center, scene.spheres.radius_sq),
+        )
+        if scene.triangles is not None and scene.tri_bvh is not None:
+            tri = scene.triangles
+            occ = occ | traverse.traverse_shadow(
+                scene.tri_bvh, p, d, jnp.where(occ, 0.0, tfar),
+                traverse.triangle_leaf_test(tri.v0, tri.e1, tri.e2),
+            )
+        return occ
     if use_pallas and _pk.available() and scene.triangles is None:
         return _pk.occluded_spheres_pallas(
             p, d, tfar, scene.spheres.center, scene.spheres.radius_sq

@@ -271,7 +271,8 @@ def _next_event_estimation(
     # Shadow trace (Renderer.hpp:302-314). Masked-out lanes get tfar=0 so the
     # any-hit test can never mark them occluded (result unused anyway).
     occluded = intersect.occluded_scene(
-        scene, p_offset, l_dir, jnp.where(valid, l_dist, 0.0)
+        scene, p_offset, l_dir, jnp.where(valid, l_dist, 0.0),
+        use_bvh=policy.use_bvh,
     )
     contribution = shadow_radiance.where(valid & ~occluded, Vec3.zeros(zeros.shape))
     return contribution, valid
@@ -366,7 +367,9 @@ def trace_rays(
 
     def body(state: PathState) -> PathState:
         # ---- INTERSECTION (Renderer.hpp:165) ----
-        tfar, prim_id, is_tri = intersect.intersect_scene(scene, state.p, state.d)
+        tfar, prim_id, is_tri = intersect.intersect_scene(
+            scene, state.p, state.d, use_bvh=policy.use_bvh
+        )
         hit = state.alive & (prim_id >= 0)
         miss = state.alive & (prim_id < 0)
 

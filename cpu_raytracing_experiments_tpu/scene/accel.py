@@ -1,0 +1,81 @@
+"""Scene acceleration: attach BVHs to a scene.
+
+The reference rebuilds its BVH whenever geometry changes
+(Application.cpp:508 -> BVH.hpp:90-206). Here `with_bvh` is that rebuild
+hook: host-side SAH build (native C++ when available), primitive arrays
+reordered so leaves index directly, and the NEE light list remapped to the
+new primitive order.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..bvh import builder
+from ..core.vec import Vec3
+from .scene import Scene, SphereGeometry, TriangleGeometry
+
+
+def _reorder_vec3(v: Vec3, order: np.ndarray) -> Vec3:
+    idx = jnp.asarray(order.astype(np.int32))
+    return Vec3(v.x[idx], v.y[idx], v.z[idx])
+
+
+def with_bvh(scene: Scene, leaf_size: int = 4) -> Scene:
+    """Return a scene with sphere (and triangle) BVHs attached and primitives
+    reordered to leaf order."""
+    centers = np.stack(
+        [np.asarray(scene.spheres.center.x), np.asarray(scene.spheres.center.y),
+         np.asarray(scene.spheres.center.z)], axis=1,
+    )
+    radii = np.sqrt(np.asarray(scene.spheres.radius_sq))
+    mins, maxs = builder.sphere_bounds(centers, radii)
+    sphere_bvh, order = builder.build_bvh(mins, maxs, leaf_size=leaf_size)
+    idx = jnp.asarray(order.astype(np.int32))
+    spheres = SphereGeometry(
+        center=_reorder_vec3(scene.spheres.center, order),
+        radius_sq=scene.spheres.radius_sq[idx],
+        material_id=scene.spheres.material_id[idx],
+    )
+    # remap light list (old prim index -> new position)
+    inv = np.empty_like(order)
+    inv[order] = np.arange(order.shape[0], dtype=order.dtype)
+    lights = jnp.asarray(inv.astype(np.int32))[scene.lights]
+
+    tri_bvh = None
+    triangles = scene.triangles
+    tri_lights = scene.tri_lights
+    if triangles is not None:
+        v0 = np.stack([np.asarray(triangles.v0.x), np.asarray(triangles.v0.y),
+                       np.asarray(triangles.v0.z)], axis=1)
+        e1 = np.stack([np.asarray(triangles.e1.x), np.asarray(triangles.e1.y),
+                       np.asarray(triangles.e1.z)], axis=1)
+        e2 = np.stack([np.asarray(triangles.e2.x), np.asarray(triangles.e2.y),
+                       np.asarray(triangles.e2.z)], axis=1)
+        tmins, tmaxs = builder.triangle_bounds(v0, v0 + e1, v0 + e2)
+        tri_bvh, torder = builder.build_bvh(tmins, tmaxs, leaf_size=leaf_size)
+        tidx = jnp.asarray(torder.astype(np.int32))
+        triangles = TriangleGeometry(
+            v0=_reorder_vec3(triangles.v0, torder),
+            e1=_reorder_vec3(triangles.e1, torder),
+            e2=_reorder_vec3(triangles.e2, torder),
+            normal=_reorder_vec3(triangles.normal, torder),
+            material_id=triangles.material_id[tidx],
+            area=triangles.area[tidx],
+        )
+        if tri_lights is not None:
+            tinv = np.empty_like(torder)
+            tinv[torder] = np.arange(torder.shape[0], dtype=torder.dtype)
+            tri_lights = jnp.asarray(tinv.astype(np.int32))[scene.tri_lights]
+
+    return dataclasses.replace(
+        scene,
+        spheres=spheres,
+        lights=lights,
+        triangles=triangles,
+        tri_lights=tri_lights,
+        sphere_bvh=sphere_bvh,
+        tri_bvh=tri_bvh,
+    )

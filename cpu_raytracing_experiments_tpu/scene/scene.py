@@ -20,6 +20,9 @@ import numpy as np
 
 from ..core.vec import Vec3, Quat
 
+if True:  # typing-only import kept unconditional; BVHArrays is a pytree too
+    from ..bvh.builder import BVHArrays
+
 
 def _pytree_dataclass(cls):
     cls = dataclasses.dataclass(cls)
@@ -250,6 +253,8 @@ class Scene:
     sky: Sky
     triangles: Optional[TriangleGeometry] = None
     tri_lights: Optional[jnp.ndarray] = None  # [L2] int32 triangle indices
+    sphere_bvh: Optional["BVHArrays"] = None  # attached by scene.accel.with_bvh
+    tri_bvh: Optional["BVHArrays"] = None
 
     @property
     def num_lights(self) -> int:

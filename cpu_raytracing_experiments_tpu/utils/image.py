@@ -1,0 +1,131 @@
+"""Image IO: Radiance .hdr (RGBE), PNG, npy.
+
+Replaces the reference's stb-based Image::Store / stbi_loadf
+(/root/reference/Image.cpp:49-74): `store` writes the resolved framebuffer
+as a Radiance RGBE .hdr (vertically flipped to standard top-down layout,
+matching the reference's flip-on-store), and `load_hdr` reads .hdr
+environment maps for the sky. A C++ RGBE codec (native/) accelerates
+encode/decode when built; the numpy path below is the always-available
+fallback and the correctness oracle.
+"""
+from __future__ import annotations
+
+import struct
+from pathlib import Path
+
+import numpy as np
+
+from . import native
+
+
+def _rgbe_encode_np(rgb: np.ndarray) -> np.ndarray:
+    """float32 [H,W,3] -> uint8 [H,W,4] RGBE."""
+    rgb = np.maximum(rgb.astype(np.float32), 0.0)
+    maxc = rgb.max(axis=-1)
+    out = np.zeros((*rgb.shape[:2], 4), np.uint8)
+    valid = maxc >= 1e-32
+    # frexp: maxc = m * 2^e with m in [0.5, 1)
+    m, e = np.frexp(np.where(valid, maxc, 1.0))
+    scale = m * 256.0 / np.where(valid, maxc, 1.0)
+    out[..., 0] = np.where(valid, np.minimum(255, rgb[..., 0] * scale), 0).astype(np.uint8)
+    out[..., 1] = np.where(valid, np.minimum(255, rgb[..., 1] * scale), 0).astype(np.uint8)
+    out[..., 2] = np.where(valid, np.minimum(255, rgb[..., 2] * scale), 0).astype(np.uint8)
+    out[..., 3] = np.where(valid, e + 128, 0).astype(np.uint8)
+    return out
+
+
+def _rgbe_decode_np(rgbe: np.ndarray) -> np.ndarray:
+    """uint8 [H,W,4] RGBE -> float32 [H,W,3]."""
+    e = rgbe[..., 3].astype(np.int32)
+    scale = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0).astype(np.float32)
+    return (rgbe[..., :3].astype(np.float32) + 0.5) * scale[..., None]
+
+
+def write_hdr(path, rgb: np.ndarray):
+    """Write a Radiance .hdr file (flat, non-RLE scanlines — universally
+    readable). rgb: [H,W,3] float32 linear radiance, row 0 = top."""
+    rgb = np.ascontiguousarray(np.asarray(rgb, np.float32))
+    h, w = rgb.shape[:2]
+    rgbe = native.rgbe_encode(rgb)
+    if rgbe is None:
+        rgbe = _rgbe_encode_np(rgb)
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\n")
+        f.write(b"FORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {h} +X {w}\n".encode())
+        f.write(rgbe.tobytes())
+
+
+def read_hdr(path) -> np.ndarray:
+    """Read a Radiance .hdr file (flat or RLE scanlines) -> [H,W,3] f32."""
+    data = Path(path).read_bytes()
+    if not data.startswith(b"#?"):
+        raise ValueError("not a Radiance HDR file")
+    pos = data.index(b"\n\n") + 2 if b"\n\n" in data else 0
+    # some writers use a single blank line; scan headers robustly
+    lines_end = pos
+    nl = data.index(b"\n", lines_end)
+    dims = data[lines_end:nl].decode()
+    parts = dims.split()
+    if len(parts) != 4 or parts[0] != "-Y" or parts[2] != "+X":
+        raise ValueError(f"unsupported HDR orientation: {dims!r}")
+    h, w = int(parts[1]), int(parts[3])
+    payload = data[nl + 1 :]
+    rgbe = np.empty((h, w, 4), np.uint8)
+    off = 0
+    for y in range(h):
+        # new-style RLE scanline marker: 0x02 0x02 hi lo
+        if (
+            len(payload) - off >= 4
+            and payload[off] == 2
+            and payload[off + 1] == 2
+            and (payload[off + 2] << 8 | payload[off + 3]) == w
+        ):
+            off += 4
+            row = np.empty((4, w), np.uint8)
+            for c in range(4):
+                x = 0
+                while x < w:
+                    n = payload[off]
+                    off += 1
+                    if n > 128:  # run
+                        row[c, x : x + n - 128] = payload[off]
+                        off += 1
+                        x += n - 128
+                    else:  # literal
+                        row[c, x : x + n] = np.frombuffer(
+                            payload, np.uint8, n, off
+                        )
+                        off += n
+                        x += n
+            rgbe[y] = row.T
+        else:  # flat scanline
+            rgbe[y] = np.frombuffer(payload, np.uint8, w * 4, off).reshape(w, 4)
+            off += w * 4
+    decoded = native.rgbe_decode(rgbe)
+    return decoded if decoded is not None else _rgbe_decode_np(rgbe)
+
+
+def write_png(path, rgb: np.ndarray):
+    """Write an 8-bit PNG from [H,W,3] float32 in [0,1], row 0 = top."""
+    from PIL import Image
+
+    arr = (np.clip(np.asarray(rgb), 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def write_npy(path, rgb: np.ndarray):
+    np.save(path, np.asarray(rgb, np.float32))
+
+
+def store(path, rgb: np.ndarray):
+    """Dispatch on extension (.hdr/.png/.npy) — the Image::Store slot."""
+    path = str(path)
+    if path.endswith(".hdr"):
+        write_hdr(path, rgb)
+    elif path.endswith(".png"):
+        write_png(path, rgb)
+    elif path.endswith(".npy"):
+        write_npy(path, rgb)
+    else:
+        raise ValueError(f"unsupported image extension: {path}")

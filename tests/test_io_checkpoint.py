@@ -1,0 +1,109 @@
+"""Image IO + checkpoint/resume tests."""
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from cpu_raytracing_experiments_tpu.render import checkpoint
+from cpu_raytracing_experiments_tpu.render.api import Renderer
+from cpu_raytracing_experiments_tpu.scene import builders
+from cpu_raytracing_experiments_tpu.utils import image as image_io
+from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+
+POL = RendererPolicy(max_bounces=6, rays_per_chunk=2048)
+
+
+def test_hdr_roundtrip(tmp_path):
+    rgb = np.abs(np.random.default_rng(0).normal(1.0, 3.0, (24, 32, 3))).astype(
+        np.float32
+    )
+    p = tmp_path / "img.hdr"
+    image_io.write_hdr(p, rgb)
+    back = image_io.read_hdr(p)
+    assert back.shape == rgb.shape
+    # RGBE has an 8-bit shared-exponent mantissa: error bounded by the
+    # per-pixel max channel / 256
+    bound = rgb.max(axis=-1, keepdims=True) / 256 + 1e-6
+    assert (np.abs(back - rgb) <= bound * 1.01).all()
+
+
+def test_hdr_rgbe_native_matches_numpy():
+    from cpu_raytracing_experiments_tpu.utils import native
+
+    if native.get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rgb = np.abs(np.random.default_rng(1).normal(0.5, 2.0, (16, 16, 3))).astype(
+        np.float32
+    )
+    np.testing.assert_array_equal(
+        native.rgbe_encode(rgb), image_io._rgbe_encode_np(rgb)
+    )
+    enc = image_io._rgbe_encode_np(rgb)
+    np.testing.assert_allclose(
+        native.rgbe_decode(enc), image_io._rgbe_decode_np(enc), rtol=1e-6
+    )
+
+
+def test_png_store(tmp_path):
+    rgb = np.random.default_rng(2).uniform(0, 1, (8, 8, 3)).astype(np.float32)
+    p = tmp_path / "img.png"
+    image_io.store(p, rgb)
+    from PIL import Image
+
+    arr = np.asarray(Image.open(p))
+    assert arr.shape == (8, 8, 3)
+    np.testing.assert_allclose(arr / 255.0, rgb, atol=1 / 255 + 1e-6)
+
+
+def test_checkpoint_resume_bit_exact(tmp_path):
+    """Render 10, checkpoint at 5 and resume -> identical buckets."""
+    scene = builders.default_scene(32, 32)
+    a = Renderer(scene, POL, 32, 32)
+    a.accumulate(10)
+
+    b = Renderer(scene, POL, 32, 32)
+    b.accumulate(5)
+    p = tmp_path / "state.npz"
+    checkpoint.save(p, b.state, POL, 32, 32)
+    c = Renderer(scene, POL, 32, 32)
+    c.state = checkpoint.load(p, POL, 32, 32)
+    c.accumulate(5)
+    np.testing.assert_array_equal(
+        np.asarray(a.state.buckets), np.asarray(c.state.buckets)
+    )
+
+
+def test_checkpoint_rejects_mismatched_config(tmp_path):
+    scene = builders.default_scene(16, 16)
+    r = Renderer(scene, POL, 16, 16)
+    r.accumulate(5)
+    p = tmp_path / "state.npz"
+    checkpoint.save(p, r.state, POL, 16, 16)
+    import dataclasses
+
+    other = dataclasses.replace(POL, max_bounces=4)
+    with pytest.raises(ValueError, match="different render config"):
+        checkpoint.load(p, other, 16, 16)
+    with pytest.raises(ValueError, match="different render config"):
+        checkpoint.load(p, POL, 32, 32)
+    # changing only the microbatch size is fine
+    bigger_chunk = dataclasses.replace(POL, rays_per_chunk=4096)
+    checkpoint.load(p, bigger_chunk, 16, 16)
+
+
+def test_cli_render_end_to_end(tmp_path):
+    """Drive the CLI surface: render a tiny image to png + hdr."""
+    out = tmp_path / "out.png"
+    hdr = tmp_path / "out.hdr"
+    cmd = [
+        sys.executable, "-m", "cpu_raytracing_experiments_tpu.cli", "render",
+        "--scene", "white_furnace", "--width", "32", "--height", "32",
+        "--spp", "5", "--bounces", "4", "--chunk", "1024", "--cpu", "--quiet",
+        "--out", str(out), "--hdr-out", str(hdr),
+    ]
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert out.exists() and hdr.exists()
+    back = image_io.read_hdr(hdr)
+    np.testing.assert_allclose(back, 1.0, atol=0.01)
