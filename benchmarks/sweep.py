@@ -1,0 +1,148 @@
+"""Benchmark sweep over the five BASELINE.json configs.
+
+Usage: python benchmarks/sweep.py [--quick] [--out benchmarks/RESULTS.md]
+Measures throughput (Mrays/s from the in-kernel counter, Msamples/s) and
+extrapolated wall-clock-to-target-spp for each config on the current
+default JAX device.
+"""
+import argparse
+import json
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def measure(name, scene, policy, width, height, spp_target, passes=10):
+    import jax
+    import jax.numpy as jnp
+
+    from cpu_raytracing_experiments_tpu.render import estimator, renderer
+
+    @jax.jit
+    def counted(scene):
+        return renderer.render_pass(scene, policy, jnp.uint32(1), width, height)
+
+    t_compile0 = time.perf_counter()
+    rad, count = counted(scene)
+    jax.block_until_ready(rad)
+    compile_s = time.perf_counter() - t_compile0
+    rays_per_pass = int(count)
+
+    @partial(jax.jit, donate_argnames=("state",))
+    def run(scene, state):
+        return estimator.accumulate_n(scene, policy, state, width, height, passes)
+
+    state = estimator.RenderState.create(width, height, policy)
+    state = run(scene, state)
+    jax.block_until_ready(state)
+    state2 = estimator.RenderState.create(width, height, policy)
+    t0 = time.perf_counter()
+    state2 = run(scene, state2)
+    jax.block_until_ready(state2)
+    dt = time.perf_counter() - t0
+    per_pass = dt / passes
+    return {
+        "config": name,
+        "size": f"{width}x{height}",
+        "spp_target": spp_target,
+        "Mrays_per_s": round(rays_per_pass / per_pass / 1e6, 1),
+        "Msamples_per_s": round(width * height / per_pass / 1e6, 2),
+        "ms_per_pass": round(per_pass * 1e3, 2),
+        "wall_to_target_s": round(per_pass * spp_target, 2),
+        "rays_per_pass": rays_per_pass,
+        "compile_s": round(compile_s, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="smaller sizes (CI/CPU)")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    device = str(jax.devices()[0])
+
+    from cpu_raytracing_experiments_tpu.scene import accel, builders
+    from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+
+    q = args.quick
+    scale = 4 if q else 1
+    results = []
+
+    # 1. hero sphere scene, 256x256, 4 bounces, 16 spp
+    pol = RendererPolicy(max_bounces=4)
+    results.append(
+        measure("1. hero 256x256 4b", builders.default_scene(256, 256), pol, 256, 256, 16)
+    )
+
+    # 2. 1k-sphere random scene with BVH, 512x512, MIS, 8 bounces, 64 spp
+    w = 512 // scale
+    scene = accel.with_bvh(builders.random_spheres_scene(w, w, num_spheres=1000))
+    pol = RendererPolicy(max_bounces=8, use_bvh=True)
+    results.append(measure("2. 1k spheres BVH", scene, pol, w, w, 64))
+    # 2b. same scene brute-force for comparison
+    pol_bf = RendererPolicy(max_bounces=8)
+    results.append(
+        measure("2b. 1k spheres brute", builders.random_spheres_scene(w, w, num_spheres=1000), pol_bf, w, w, 64)
+    )
+
+    # 3. Cornell box 512x512, 256 spp, median-of-means
+    w = 512 // scale
+    pol = RendererPolicy(max_bounces=8)
+    results.append(measure("3. cornell box", builders.cornell_box_scene(w, w), pol, w, w, 256))
+
+    # 4. DoF camera, 1920x1088, 128 spp progressive
+    w, h = (480, 272) if q else (1920, 1088)
+    import dataclasses
+    import jax.numpy as jnp
+
+    scene = builders.default_scene(w, h)
+    scene = dataclasses.replace(
+        scene,
+        camera=dataclasses.replace(
+            scene.camera,
+            focus_distance=jnp.float32(1.3),
+            aperture_radius=jnp.float32(0.01),
+        ),
+    )
+    pol = RendererPolicy(max_bounces=8, enable_dof=True)
+    results.append(measure("4. DoF 1080p", scene, pol, w, h, 128))
+
+    # 5. ~100k-triangle mesh, 4K, 256 spp (stretch)
+    subdiv = 4 if q else 6  # 6 -> 81,920 tris + displaced surface
+    w, h = (480, 272) if q else (3840, 2176)
+    scene = accel.with_bvh(builders.mesh_scene(w, h, subdivisions=subdiv))
+    pol = RendererPolicy(max_bounces=6, use_bvh=True)
+    results.append(
+        measure(f"5. mesh {20 * 4**subdiv // 1000}k tris 4K", scene, pol, w, h, 256, passes=5)
+    )
+
+    print(json.dumps({"device": device, "results": results}, indent=2))
+    if args.out:
+        lines = [
+            "# Benchmark sweep — BASELINE.json configs",
+            "",
+            f"Device: `{device}`  (Mrays/s = in-kernel useful-ray counter)",
+            "",
+            "| config | size | Mrays/s | Msamples/s | ms/pass | wall to target spp |",
+            "|---|---|---|---|---|---|",
+        ]
+        for r in results:
+            lines.append(
+                f"| {r['config']} | {r['size']} | {r['Mrays_per_s']} | "
+                f"{r['Msamples_per_s']} | {r['ms_per_pass']} | "
+                f"{r['wall_to_target_s']} s @ {r['spp_target']}spp |"
+            )
+        Path(args.out).write_text("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()

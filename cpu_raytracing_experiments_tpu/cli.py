@@ -42,8 +42,10 @@ def _build_scene(args):
     if args.scene not in builders.SCENES:
         sys.exit(f"unknown scene {args.scene!r}; available: {list(builders.SCENES)}")
     kwargs = {}
-    if args.scene == "bvh_test" and args.spheres:
+    if args.scene in ("bvh_test", "random_spheres") and args.spheres:
         kwargs["num_spheres"] = args.spheres
+    if args.scene == "mesh" and args.subdiv:
+        kwargs["subdivisions"] = args.subdiv
     scene = builders.SCENES[args.scene](args.width, args.height, **kwargs)
     if args.hdri:
         import dataclasses
@@ -66,7 +68,7 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--spp", type=int, default=25)
     p.add_argument("--bounces", type=int, default=8)
-    p.add_argument("--chunk", type=int, default=1 << 17, help="rays per microbatch")
+    p.add_argument("--chunk", type=int, default=1 << 19, help="rays per microbatch")
     p.add_argument("--bvh", action="store_true", help="BVH traversal (default: brute force, as the reference ships)")
     p.add_argument("--ggx", action="store_true", help="GGX closure instead of lambertian")
     p.add_argument("--no-mis", action="store_true")
@@ -75,7 +77,8 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--dof", action="store_true", help="thin-lens depth of field")
     p.add_argument("--sky-bug-compat", action="store_true", help="reproduce the reference's throughput.r sky bug")
     p.add_argument("--hdri", help="equirect .hdr environment map for the sky")
-    p.add_argument("--spheres", type=int, help="sphere count for bvh_test scene")
+    p.add_argument("--spheres", type=int, help="sphere count for bvh_test/random_spheres scenes")
+    p.add_argument("--subdiv", type=int, help="icosphere subdivisions for the mesh scene")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--metrics", help="JSONL metrics output path")
     p.add_argument("--quiet", action="store_true")

@@ -24,7 +24,7 @@ try:  # pragma: no cover - import guard
 except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
-FLT_MAX = jnp.float32(3.4028235e38)
+FLT_MAX = 3.4028235e38  # plain float: jnp constants would be captured consts in the kernel
 TILE_R = 1024  # rays per grid step; [TILE_R, P<=2048] f32 fits VMEM easily
 
 

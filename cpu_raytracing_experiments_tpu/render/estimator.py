@@ -106,7 +106,9 @@ def resolve(
     weights), as the reference does (:437)."""
     b = policy.accumulation_buckets
     n_rounds = jnp.maximum(state.accumulations // jnp.uint32(b), 1).astype(jnp.float32)
-    scale = jnp.asarray(exposure, jnp.float32) / n_rounds
+    scale = jnp.asarray(exposure, jnp.float32) / (
+        n_rounds * policy.samples_per_pixel
+    )
     if policy.median and b == 5:
         channels = [
             sampling.median5(*[state.buckets[k, c] for k in range(5)]) * scale

@@ -52,22 +52,39 @@ class PathState(NamedTuple):
     # whenever the caller ignores it
 
 
-def pixel_seeds_from_index(
+def path_index_from_pixel(
     i: jnp.ndarray, width: int, policy: RendererPolicy
 ) -> jnp.ndarray:
-    """Per-pixel base seed from flat pixel index, bit-equal to
-    Renderer.hpp:107's schedule:
-    seed = (tile_index * TileSize + intra_tile_id) * (2*max_bounces + 1)
-    under the reference's 16x16 tile decomposition of the (padded) grid."""
+    """Tile-ordered path index (tile_index * TileSize + intra_tile_id) under
+    the reference's 16x16 tile decomposition of the (padded) grid
+    (Renderer.hpp:85-88, 107)."""
     tr = policy.tile_root
     h_tiles = -(-width // tr)
     x = i % jnp.uint32(width)
     y = i // jnp.uint32(width)
     launch = (y // tr) * jnp.uint32(h_tiles) + (x // tr)
     tid = (y % tr) * jnp.uint32(tr) + (x % tr)
-    return (launch * jnp.uint32(policy.tile_size) + tid) * jnp.uint32(
-        2 * policy.max_bounces + 1
-    )
+    return launch * jnp.uint32(policy.tile_size) + tid
+
+
+def pixel_seeds_from_index(
+    i: jnp.ndarray, width: int, policy: RendererPolicy, sample: jnp.ndarray = None
+) -> jnp.ndarray:
+    """Per-path base seed, bit-equal to Renderer.hpp:107's schedule at
+    spp=1: seed = path_index * (2*max_bounces + 1). With
+    policy.samples_per_pixel > 1 (which the reference declares but never
+    implements, Renderer.hpp:21), the stream index is
+    path_index * spp + sample — it degenerates to the reference schedule at
+    spp=1."""
+    path = path_index_from_pixel(i, width, policy)
+    spp = policy.samples_per_pixel
+    if spp > 1:
+        stream = path * jnp.uint32(spp) + (
+            jnp.uint32(0) if sample is None else sample
+        )
+    else:
+        stream = path
+    return stream * jnp.uint32(2 * policy.max_bounces + 1)
 
 
 def pixel_seeds(width: int, height: int, policy: RendererPolicy) -> jnp.ndarray:
@@ -367,16 +384,18 @@ def trace_rays(
 
     def body(state: PathState) -> PathState:
         # ---- INTERSECTION (Renderer.hpp:165) ----
-        tfar, prim_id, is_tri = intersect.intersect_scene(
-            scene, state.p, state.d, use_bvh=policy.use_bvh
-        )
+        with jax.named_scope("intersect"):
+            tfar, prim_id, is_tri = intersect.intersect_scene(
+                scene, state.p, state.d, use_bvh=policy.use_bvh
+            )
         hit = state.alive & (prim_id >= 0)
         miss = state.alive & (prim_id < 0)
 
         # ---- CLOSEST HIT (:169-214) ----
-        p_offset, n, t_quat, v_local, mat_id = _closest_hit_frame(
-            scene, state, tfar, prim_id, is_tri
-        )
+        with jax.named_scope("closest_hit"):
+            p_offset, n, t_quat, v_local, mat_id = _closest_hit_frame(
+                scene, state, tfar, prim_id, is_tri
+            )
         albedo = scene.materials.albedo.gather(mat_id)
         f0 = scene.materials.f0.gather(mat_id)
         rough = scene.materials.roughness[mat_id]
@@ -387,16 +406,18 @@ def trace_rays(
         # ---- NEE + SHADOW (:247-314) ----
         shadow_traced = jnp.zeros_like(hit)
         if policy.mis:
-            nee, shadow_traced = _next_event_estimation(
-                scene, policy, state, accumulation, seeds, hit, prim_id, is_tri,
-                p_offset, t_quat, v_local, albedo, f0, alpha,
-            )
-            radiance = radiance + nee
+            with jax.named_scope("nee_shadow"):
+                nee, shadow_traced = _next_event_estimation(
+                    scene, policy, state, accumulation, seeds, hit, prim_id,
+                    is_tri, p_offset, t_quat, v_local, albedo, f0, alpha,
+                )
+                radiance = radiance + nee
 
         # ---- EMISSIVE HIT (:319-353) ----
-        radiance = radiance + _emissive_hit(
-            scene, policy, state, hit, prim_id, is_tri, mat_id, tfar, v_local
-        )
+        with jax.named_scope("emissive_hit"):
+            radiance = radiance + _emissive_hit(
+                scene, policy, state, hit, prim_id, is_tri, mat_id, tfar, v_local
+            )
 
         # ---- BRDF SAMPLE + RUSSIAN ROULETTE (:357-404) ----
         site = rng.hash_2d(
@@ -471,17 +492,21 @@ def render_pass(
     the HBM-scale analog of the reference's 256-ray L1-resident tiles."""
     if npix is None:
         npix = width * height
-    i = jnp.asarray(pixel_start, jnp.uint32) + jnp.arange(npix, dtype=jnp.uint32)
+    spp = policy.samples_per_pixel
+    nrays = npix * spp
+    ray = jnp.arange(nrays, dtype=jnp.uint32)
+    i = jnp.asarray(pixel_start, jnp.uint32) + ray // jnp.uint32(spp)
+    sample = ray % jnp.uint32(spp)
     x = (i % jnp.uint32(width)).astype(jnp.int32)
     y = (i // jnp.uint32(width)).astype(jnp.int32)
-    seeds = pixel_seeds_from_index(i, width, policy)
+    seeds = pixel_seeds_from_index(i, width, policy, sample)
     accumulation = jnp.asarray(accumulation, jnp.uint32)
 
-    chunk = min(policy.rays_per_chunk, npix)
-    padded = -(-npix // chunk) * chunk
+    chunk = min(policy.rays_per_chunk, nrays)
+    padded = -(-nrays // chunk) * chunk
 
     def pad(a):
-        return jnp.pad(a, (0, padded - npix))
+        return jnp.pad(a, (0, padded - nrays))
 
     xs = (pad(x).reshape(-1, chunk), pad(y).reshape(-1, chunk), pad(seeds).reshape(-1, chunk))
 
@@ -494,13 +519,22 @@ def render_pass(
 
     if padded == chunk:
         rad, count = chunk_fn((xs[0][0], xs[1][0], xs[2][0]))
-        return Vec3(rad.x[:npix], rad.y[:npix], rad.z[:npix]), count
-    rad, counts = jax.lax.map(chunk_fn, xs)
-    return (
-        Vec3(
-            rad.x.reshape(-1)[:npix],
-            rad.y.reshape(-1)[:npix],
-            rad.z.reshape(-1)[:npix],
-        ),
-        jnp.sum(counts),
-    )
+        count = jnp.asarray(count)
+        flat = Vec3(rad.x[:nrays], rad.y[:nrays], rad.z[:nrays])
+    else:
+        rad, counts = jax.lax.map(chunk_fn, xs)
+        count = jnp.sum(counts)
+        flat = Vec3(
+            rad.x.reshape(-1)[:nrays],
+            rad.y.reshape(-1)[:nrays],
+            rad.z.reshape(-1)[:nrays],
+        )
+    if spp > 1:
+        # per-pixel sum over the spp samples of this pass; the resolve
+        # divides by spp (estimator.resolve)
+        flat = Vec3(
+            flat.x.reshape(npix, spp).sum(axis=1),
+            flat.y.reshape(npix, spp).sum(axis=1),
+            flat.z.reshape(npix, spp).sum(axis=1),
+        )
+    return flat, count

@@ -221,8 +221,8 @@ def cornell_box_scene(width: int = 512, height: int = 512) -> Scene:
 
 
 def random_spheres_scene(
-    num_spheres: int, width: int = 512, height: int = 512, seed: int = 1234,
-    emissive_fraction: float = 0.02,
+    width: int = 512, height: int = 512, num_spheres: int = 1000,
+    seed: int = 1234, emissive_fraction: float = 0.02,
 ) -> Scene:
     """Parameterized sphere field for BVH scaling benchmarks (BASELINE.json
     config 2: 1k spheres)."""
@@ -243,10 +243,46 @@ def random_spheres_scene(
     return b.build(cam, Sky.constant((0.5, 0.6, 0.8)))
 
 
+def mesh_scene(
+    width: int = 512,
+    height: int = 512,
+    subdivisions: int = 6,
+    obj_path=None,
+) -> Scene:
+    """Large triangle-mesh scene (BASELINE.json config 5 scale): a displaced
+    icosphere (20*4^k tris; k=6 -> 81,920, k=7 -> 327,680) or a user OBJ,
+    over a ground plane, lit by a sphere light + dim sky."""
+    from . import meshes
+
+    b = _SceneBuilder()
+    ground = b.material(albedo=(0.6, 0.6, 0.6), roughness=1.0)
+    b.sphere((0.0, -1000.8, 0.0), 1000.0, ground)
+    light = b.material(emission=(400.0, 380.0, 320.0), albedo=(1, 1, 1))
+    b.sphere((3.0, 4.0, 2.0), 0.5, light)
+    body = b.material(albedo=(0.75, 0.71, 0.68), roughness=0.9)
+    if obj_path:
+        verts, faces = meshes.load_obj(obj_path)
+        # normalize into a unit-ish object above the ground
+        verts = verts - verts.mean(0)
+        verts = verts / np.abs(verts).max()
+    else:
+        verts, faces = meshes.displaced_icosphere(subdivisions)
+    tris = meshes.mesh_to_triangles(verts, faces, body)
+    for k, v in tris.items():
+        b.tris[k] = list(v)
+    cam = Camera.create(
+        eye=(0, 0.4, 3.2), forward=(0, -0.1, -1), width=width, height=height,
+        focal_length=45.0,
+    )
+    return b.build(cam, Sky.constant((0.15, 0.18, 0.25)))
+
+
 SCENES = {
     "default": default_scene,
     "white_furnace": white_furnace_scene,
     "bvh_test": bvh_test_scene,
     "brdf_test": brdf_test_scene,
     "cornell": cornell_box_scene,
+    "random_spheres": random_spheres_scene,
+    "mesh": mesh_scene,
 }

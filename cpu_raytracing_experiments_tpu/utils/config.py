@@ -34,7 +34,8 @@ class RendererPolicy:
     median: bool = True  # #define MEDIAN true (median vs average resolve)
 
     # TPU-specific execution knobs (no reference equivalent):
-    rays_per_chunk: int = 1 << 15  # microbatch size for the wavefront loop;
+    rays_per_chunk: int = 1 << 19  # microbatch size for the wavefront loop
+    # (2^19 measured fastest on v5e at 1080p: 84 Msamples/s vs 75 at 2^18);
     # bounds the [rays x prims] intersection working set to fit on-chip
     sky_bug_compat: bool = False  # reproduce Renderer.hpp:416-418 (throughput.r
     # multiplies all three sky channels) for bit-compatibility testing

@@ -1,0 +1,171 @@
+"""Tests for coherence sort, bitmanip, scene editing, multi-spp, GGX."""
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from cpu_raytracing_experiments_tpu.core import bitmanip
+from cpu_raytracing_experiments_tpu.ops import sort as ray_sort
+from cpu_raytracing_experiments_tpu.render.api import Renderer
+from cpu_raytracing_experiments_tpu.scene import builders, edit
+from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+
+POL = RendererPolicy(max_bounces=6, rays_per_chunk=2048)
+
+
+# ---------------------------------------------------------------------------
+# ops/sort.py — counting-sort semantics (DataStreams.hpp:221-253)
+# ---------------------------------------------------------------------------
+def test_sort_ray_ids():
+    mat = jnp.asarray([2, -1, 0, 2, -1, 1, 0, 2], jnp.int32)
+    ids, miss = ray_sort.sort_ray_ids(mat, num_materials=3)
+    ids = np.asarray(ids)
+    assert int(miss) == 2
+    # misses first, then stable by material
+    np.testing.assert_array_equal(ids, [1, 4, 2, 6, 5, 0, 3, 7])
+
+
+def test_histogram():
+    keys = jnp.asarray([0, 1, 1, 3, 3, 3], jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(ray_sort.histogram(keys, 4)), [1, 2, 0, 3]
+    )
+
+
+def test_compaction_order():
+    alive = jnp.asarray([False, True, False, True, True], bool)
+    order, n = ray_sort.compaction_order(alive)
+    assert int(n) == 3
+    np.testing.assert_array_equal(np.asarray(order), [1, 3, 4, 0, 2])
+
+
+# ---------------------------------------------------------------------------
+# core/bitmanip.py
+# ---------------------------------------------------------------------------
+def test_popcount():
+    xs = jnp.asarray([0, 1, 0xFF, 0xFFFFFFFF, 0x80000001], jnp.uint32)
+    np.testing.assert_array_equal(np.asarray(bitmanip.popcount32(xs)), [0, 1, 8, 32, 2])
+
+
+def test_morton_roundtrip():
+    g = np.random.default_rng(0)
+    x = jnp.asarray(g.integers(0, 1 << 16, 100), jnp.uint32)
+    y = jnp.asarray(g.integers(0, 1 << 16, 100), jnp.uint32)
+    code = bitmanip.morton_encode2d(x, y)
+    dx, dy = bitmanip.morton_decode2d(code)
+    np.testing.assert_array_equal(np.asarray(dx), np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(dy), np.asarray(y))
+    # morton(2,3): x bits -> even, y bits -> odd: 0b1110 = 14
+    assert int(bitmanip.morton_encode2d(jnp.uint32(2), jnp.uint32(3))) == 14
+
+
+def test_round_up_pow2():
+    xs = jnp.asarray([1, 2, 3, 5, 16, 17, 1000], jnp.uint32)
+    np.testing.assert_array_equal(
+        np.asarray(bitmanip.round_up_pow2(xs)), [1, 2, 4, 8, 16, 32, 1024]
+    )
+
+
+# ---------------------------------------------------------------------------
+# scene/edit.py — UpdateTracker semantics (Application.cpp:335-358, 508-510)
+# ---------------------------------------------------------------------------
+def test_edit_flags_and_invalidation():
+    scene = builders.default_scene(32, 32)
+    s2, flags = edit.set_sphere(scene, 0, position=(1.0, 2.0, 3.0))
+    assert flags == edit.SceneUpdate.GEOMETRY
+    assert flags.needs_bvh and flags.needs_light_list
+    assert float(s2.spheres.center.x[0]) == 1.0
+
+    s3, flags = edit.set_material(scene, 0, albedo=(0.5, 0.5, 0.5))
+    assert flags == edit.SceneUpdate.MATERIAL
+    assert not flags.needs_bvh and flags.needs_light_list
+
+    _, flags = edit.set_ambient(scene, (1, 1, 1))
+    assert not flags.needs_bvh and not flags.needs_light_list
+
+
+def test_editing_light_emission_rebuilds_light_list():
+    scene = builders.default_scene(32, 32)
+    n_lights = scene.lights.shape[0]
+    # kill one light's emission -> light list shrinks after invalidation
+    light_mat = int(scene.spheres.material_id[int(scene.lights[0])])
+    s2, flags = edit.set_material(scene, light_mat, emission=(0.0, 0.0, 0.0))
+    s2 = edit.apply_invalidation(s2, flags)
+    assert s2.lights.shape[0] == n_lights - 1
+
+
+def test_scene_editor_commit_resets_accumulator():
+    scene = builders.default_scene(32, 32)
+    r = Renderer(scene, POL, 32, 32)
+    r.accumulate(5)
+    assert int(r.state.accumulations) == 5
+    editor = edit.SceneEditor(r)
+    editor.edit(edit.set_material, 0, albedo=(0.2, 0.2, 0.2)).commit()
+    assert int(r.state.accumulations) == 0
+    # edit visible in the next render (same compiled fn, new arrays)
+    r.accumulate(5)
+    assert int(r.state.accumulations) == 5
+
+
+def test_material_edit_changes_render_without_recompile():
+    scene = builders.white_furnace_scene(16, 16)
+    r = Renderer(scene, POL, 16, 16)
+    img_white = r.render_spp(5, tonemap=False)
+    editor = edit.SceneEditor(r)
+    editor.edit(edit.set_material, 0, albedo=(0.3, 0.3, 0.3)).commit()
+    img_grey = r.render_spp(5, tonemap=False)
+    assert img_white.mean() > img_grey.mean()
+
+
+# ---------------------------------------------------------------------------
+# multi-spp passes (reference declares but never implements spp > 1)
+# ---------------------------------------------------------------------------
+def test_multi_spp_white_furnace():
+    scene = builders.white_furnace_scene(16, 16)
+    pol = dataclasses.replace(POL, samples_per_pixel=4)
+    img = Renderer(scene, pol, 16, 16).render_spp(5, tonemap=False)
+    np.testing.assert_allclose(img, 1.0, atol=1e-5)
+
+
+def test_multi_spp_matches_single_spp_mean():
+    scene = builders.default_scene(16, 16)
+    a = Renderer(scene, POL, 16, 16)
+    a.accumulate(40)
+    pol4 = dataclasses.replace(POL, samples_per_pixel=4)
+    b = Renderer(scene, pol4, 16, 16)
+    b.accumulate(10)  # 40 samples total
+    ma = np.asarray(a.state.buckets).sum(0).mean() / 40
+    mb = np.asarray(b.state.buckets).sum(0).mean() / 40
+    assert abs(ma - mb) < 0.1 * max(ma, 1e-6)
+
+
+# ---------------------------------------------------------------------------
+# GGX policy renders
+# ---------------------------------------------------------------------------
+def test_ggx_render_sane():
+    scene = builders.brdf_test_scene(48, 48)
+    pol = dataclasses.replace(POL, brdf="ggx")
+    img = Renderer(scene, pol, 48, 48).render_spp(10, tonemap=False)
+    assert np.isfinite(img).all()
+    assert (img >= 0).all()
+    assert img.max() > 0.05
+
+
+def test_ggx_mirror_furnace():
+    """F0=1, roughness=0 mirror in a white furnace: perfect reflection of a
+    uniform sky returns exactly 1 (VNDF estimator = F * G2/G1 = 1)."""
+    scene = builders.white_furnace_scene(16, 16)
+    import jax.numpy as jnp
+    from cpu_raytracing_experiments_tpu.core.vec import Vec3
+
+    mats = scene.materials
+    one = jnp.ones_like(mats.f0.x)
+    scene = dataclasses.replace(
+        scene,
+        materials=dataclasses.replace(
+            mats, f0=Vec3(one, one, one), roughness=one * 0.0
+        ),
+    )
+    pol = dataclasses.replace(POL, brdf="ggx")
+    img = Renderer(scene, pol, 16, 16).render_spp(5, tonemap=False)
+    np.testing.assert_allclose(img, 1.0, atol=1e-4)
