@@ -79,10 +79,10 @@ def render_aovs(
         state = _renderer.PathState(
             bounce=jnp.int32(0), p=p0, d=d0,
             throughput=Vec3.ones((npix,)), radiance=Vec3.zeros((npix,)),
-            prev_pdf=jnp.zeros((npix,)), alive=jnp.ones((npix,), bool),
-            ray_count=jnp.uint32(0),
+            prev_pdf=jnp.zeros((npix,)), prev_delta=jnp.zeros((npix,), bool),
+            alive=jnp.ones((npix,), bool), ray_count=jnp.uint32(0),
         )
-        _, n, _, _, mat_id = _renderer._closest_hit_frame(
+        _, n, _, _, mat_id, _, _ = _renderer._closest_hit_frame(
             scene, state, tfar, prim_id, is_tri
         )
         albedo = scene.materials.albedo.gather(mat_id)

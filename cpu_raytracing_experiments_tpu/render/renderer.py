@@ -46,6 +46,7 @@ class PathState(NamedTuple):
     throughput: Vec3  # [R]
     radiance: Vec3  # [R]
     prev_pdf: jnp.ndarray  # [R] BRDF pdf of the previous bounce (for MIS)
+    prev_delta: jnp.ndarray  # [R] bool: previous bounce sampled a delta lobe
     alive: jnp.ndarray  # [R] bool
     ray_count: jnp.ndarray  # u32 scalar: useful rays traced (closest-hit +
     # valid shadow rays) — the Mrays/s numerator; dead-code-eliminated by XLA
@@ -148,25 +149,29 @@ def _closest_hit_frame(scene: Scene, state: PathState, tfar, prim_id, is_tri):
     t = sampling.tangent_space(n)
     v_local = sampling.to_local(t, -state.d)
     p_offset = hit_pt + n * 1e-4
-    return p_offset, n, t, v_local, mat_id
+    return p_offset, n, t, v_local, mat_id, backface, hit_pt
 
 
-def _closure_eval(policy, albedo, f0, alpha, l_local, v_local):
+def _closure_eval(policy, mat, l_local, v_local):
     if policy.brdf == "lambertian":
-        return closures.lambert_eval(albedo, l_local, v_local)
-    return closures.ggx_eval(f0, alpha, l_local, v_local)
+        return closures.lambert_eval(mat["albedo"], l_local, v_local)
+    if policy.brdf == "ggx":
+        return closures.ggx_eval(mat["f0"], mat["alpha"], l_local, v_local)
+    return closures.principled_eval(
+        mat["albedo"], mat["f0"], mat["transmission"], mat["alpha"],
+        l_local, v_local,
+    )
 
 
-def _closure_pdf(policy, alpha, l_local, v_local):
+def _closure_pdf(policy, mat, l_local, v_local):
     if policy.brdf == "lambertian":
         return closures.lambert_pdf(l_local)
-    return closures.ggx_pdf(alpha, l_local, v_local)
-
-
-def _closure_sample(policy, albedo, f0, alpha, v_local, u, v):
-    if policy.brdf == "lambertian":
-        return closures.lambert_sample(albedo, v_local, u, v)
-    return closures.ggx_sample(f0, alpha, v_local, u, v)
+    if policy.brdf == "ggx":
+        return closures.ggx_pdf(mat["alpha"], l_local, v_local)
+    return closures.principled_pdf(
+        mat["albedo"], mat["f0"], mat["transmission"], mat["alpha"],
+        l_local, v_local,
+    )
 
 
 def _next_event_estimation(
@@ -181,9 +186,7 @@ def _next_event_estimation(
     p_offset: Vec3,
     t_quat: Quat,
     v_local: Vec3,
-    albedo: Vec3,
-    f0: Vec3,
-    alpha,
+    mat: dict,
 ):
     """NEE with MIS (Renderer.hpp:247-314): pick one light uniformly,
     cone-sample sphere lights / area-sample triangle lights, trace a shadow
@@ -278,10 +281,10 @@ def _next_event_estimation(
     shadow_radiance = (
         l_emission
         * state.throughput
-        * _closure_eval(policy, albedo, f0, alpha, l_local, v_local)
+        * _closure_eval(policy, mat, l_local, v_local)
     )
     l_pdf = l_pdf * light_selection_pdf  # (:282)
-    brdf_pdf = _closure_pdf(policy, alpha, l_local, v_local)
+    brdf_pdf = _closure_pdf(policy, mat, l_local, v_local)
     shadow_radiance = shadow_radiance * sampling.power_heuristic_over_f(l_pdf, brdf_pdf)
     valid = valid & (shadow_radiance.max_component() > 0.0)  # (:285)
 
@@ -334,6 +337,9 @@ def _emissive_hit(
             )
             light_pdf = jnp.where(is_tri, tri_pdf, light_pdf)
         mis_weight = sampling.power_heuristic(state.prev_pdf, light_pdf)
+        # delta previous bounce: light sampling could never have produced
+        # this direction -> no MIS discount
+        mis_weight = jnp.where(state.prev_delta, 1.0, mis_weight)
         # bounce 0 was BRDF-blind: add emission unweighted (:344-353)
         weight = jnp.where(state.bounce > 0, mis_weight, 1.0)
     contribution = (state.throughput * em) * weight
@@ -365,6 +371,7 @@ def trace_rays(
         throughput=Vec3(one, one, one),
         radiance=Vec3(zero, zero, zero),
         prev_pdf=zero,
+        prev_delta=zero > 1.0,
         alive=zero < 1.0,
         ray_count=jnp.uint32(0),
     )
@@ -393,13 +400,18 @@ def trace_rays(
 
         # ---- CLOSEST HIT (:169-214) ----
         with jax.named_scope("closest_hit"):
-            p_offset, n, t_quat, v_local, mat_id = _closest_hit_frame(
-                scene, state, tfar, prim_id, is_tri
+            p_offset, n, t_quat, v_local, mat_id, backface, hit_pt = (
+                _closest_hit_frame(scene, state, tfar, prim_id, is_tri)
             )
-        albedo = scene.materials.albedo.gather(mat_id)
-        f0 = scene.materials.f0.gather(mat_id)
         rough = scene.materials.roughness[mat_id]
-        alpha = rough * rough
+        mat = {
+            "albedo": scene.materials.albedo.gather(mat_id),
+            "f0": scene.materials.f0.gather(mat_id),
+            "alpha": rough * rough,
+        }
+        if policy.brdf == "principled":
+            mat["transmission"] = scene.materials.transmission.gather(mat_id)
+            mat["ior"] = scene.materials.ior_minus_one[mat_id] + 1.0
 
         radiance = state.radiance
 
@@ -409,7 +421,7 @@ def trace_rays(
             with jax.named_scope("nee_shadow"):
                 nee, shadow_traced = _next_event_estimation(
                     scene, policy, state, accumulation, seeds, hit, prim_id,
-                    is_tri, p_offset, t_quat, v_local, albedo, f0, alpha,
+                    is_tri, p_offset, t_quat, v_local, mat,
                 )
                 radiance = radiance + nee
 
@@ -424,9 +436,25 @@ def trace_rays(
             accumulation,
             seeds + jnp.uint32(2) * state.bounce.astype(jnp.uint32) + jnp.uint32(1),
         )
-        site, (u_draw, v_draw, rr_draw) = rng.draws(site, 3)
-        bsdf = _closure_sample(policy, albedo, f0, alpha, v_local, u_draw, v_draw)
-        new_throughput = state.throughput * bsdf.estimator
+        if policy.brdf == "principled":
+            # draw order: lobe, u, v, fresnel, rr
+            site, (lobe_draw, u_draw, v_draw, fres_draw, rr_draw) = rng.draws(site, 5)
+            psample = closures.principled_sample(
+                mat["albedo"], mat["f0"], mat["transmission"], mat["alpha"],
+                mat["ior"], ~backface, v_local, lobe_draw, u_draw, v_draw,
+                fres_draw,
+            )
+            bsdf_dir, bsdf_est = psample.direction, psample.estimator
+            bsdf_delta = psample.is_delta
+        else:
+            site, (u_draw, v_draw, rr_draw) = rng.draws(site, 3)
+            if policy.brdf == "lambertian":
+                bs = closures.lambert_sample(mat["albedo"], v_local, u_draw, v_draw)
+            else:
+                bs = closures.ggx_sample(mat["f0"], mat["alpha"], v_local, u_draw, v_draw)
+            bsdf_dir, bsdf_est = bs.direction, bs.estimator
+            bsdf_delta = jnp.zeros_like(hit)
+        new_throughput = state.throughput * bsdf_est
         if policy.russian_roulette:
             q = 1.0 - new_throughput.max_component()
             rr_kill = rr_draw < q
@@ -435,11 +463,17 @@ def trace_rays(
             )
         else:
             rr_kill = jnp.zeros_like(hit)
-        world_dir = sampling.to_world(t_quat, bsdf.direction)
+        world_dir = sampling.to_world(t_quat, bsdf_dir)
         # pdf of the sampled direction, stored for next-bounce MIS. The
         # reference evaluates the closure pdf *after* the world transform
         # (Renderer.hpp:386,401) — a frame mixup; we evaluate in local frame.
-        next_pdf = _closure_pdf(policy, alpha, bsdf.direction, v_local)
+        next_pdf = _closure_pdf(policy, mat, bsdf_dir, v_local)
+        if policy.brdf == "principled":
+            # transmitted rays continue BELOW the surface: flip the offset
+            below = bsdf_dir.z < 0.0
+            p_next_origin = (hit_pt - n * 1e-4).where(below, p_offset)
+        else:
+            p_next_origin = p_offset
 
         # ---- MISS / SKY (:408-420) ----
         sky = scene.sky.sample(state.d)
@@ -459,11 +493,12 @@ def trace_rays(
         )
         return PathState(
             bounce=state.bounce + 1,
-            p=p_offset.where(alive_next, state.p),
+            p=p_next_origin.where(alive_next, state.p),
             d=world_dir.where(alive_next, state.d),
             throughput=new_throughput.where(alive_next, state.throughput),
             radiance=radiance,
             prev_pdf=jnp.where(alive_next, next_pdf, state.prev_pdf),
+            prev_delta=jnp.where(alive_next, bsdf_delta, state.prev_delta),
             alive=alive_next,
             ray_count=state.ray_count + rays_this_bounce,
         )

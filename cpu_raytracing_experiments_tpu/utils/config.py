@@ -28,7 +28,9 @@ class RendererPolicy:
     max_radiance: float = 1e2  # declared-but-unused in the reference too
     accumulation_buckets: int = 5  # median-of-means buckets (Renderer.hpp:41)
 
-    brdf: str = "lambertian"  # 'lambertian' | 'ggx'  (#define BRDF 0|1)
+    brdf: str = "lambertian"  # 'lambertian' | 'ggx' (#define BRDF 0|1) |
+    # 'principled' (full material model: diffuse + specular + transmission —
+    # consumes the Material fields the reference declares but never shades)
     mis: bool = True  # #define MIS true
     use_bvh: bool = False  # #define USEBVH false (reference ships brute force)
     median: bool = True  # #define MEDIAN true (median vs average resolve)
@@ -53,7 +55,7 @@ class RendererPolicy:
         return self.tile_root * self.tile_root
 
     def __post_init__(self):
-        assert self.brdf in ("lambertian", "ggx"), self.brdf
+        assert self.brdf in ("lambertian", "ggx", "principled"), self.brdf
         assert self.accumulation_buckets % 2 == 1, "median needs odd buckets"
 
 
