@@ -390,6 +390,19 @@ def trace_rays(
         return (state.bounce < policy.max_bounces) & jnp.any(state.alive)
 
     def body(state: PathState) -> PathState:
+        return bounce_step(scene, policy, accumulation, seeds, state)
+
+    final = jax.lax.while_loop(cond, body, init)
+    return final.radiance, final.ray_count
+
+
+def bounce_step(scene, policy, accumulation, seeds, state: PathState) -> PathState:
+    """One wavefront bounce — the loop body of Renderer::Accumulate's bounce
+    loop (Renderer.hpp:131-432). `state.bounce` may be a scalar (uniform
+    wavefront, trace_rays) or a per-lane vector (pooled wavefront with ray
+    regeneration, wavefront_pool.py): the RNG site schedule and all masks
+    broadcast either way."""
+    if True:
         # ---- INTERSECTION (Renderer.hpp:165) ----
         with jax.named_scope("intersect"):
             tfar, prim_id, is_tri = intersect.intersect_scene(
@@ -484,9 +497,15 @@ def trace_rays(
         else:
             sky_contrib = thr * sky
         sky_on = miss & scene.sky.has_ambient()
-        radiance = radiance + sky_contrib.where(sky_on, Vec3.zeros(shape))
+        zero3 = Vec3(
+            jnp.zeros_like(radiance.x),
+            jnp.zeros_like(radiance.y),
+            jnp.zeros_like(radiance.z),
+        )
+        radiance = radiance + sky_contrib.where(sky_on, zero3)
 
-        alive_next = hit & ~rr_kill
+        # per-lane bounce cap (scalar bounce: equivalent to the loop bound)
+        alive_next = hit & ~rr_kill & (state.bounce + 1 < policy.max_bounces)
         rays_this_bounce = (
             jnp.sum(state.alive.astype(jnp.uint32))
             + jnp.sum(shadow_traced.astype(jnp.uint32))
@@ -502,9 +521,6 @@ def trace_rays(
             alive=alive_next,
             ray_count=state.ray_count + rays_this_bounce,
         )
-
-    final = jax.lax.while_loop(cond, body, init)
-    return final.radiance, final.ray_count
 
 
 def render_pass(

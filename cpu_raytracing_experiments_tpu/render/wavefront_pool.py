@@ -1,0 +1,151 @@
+"""Pooled wavefront with ray regeneration — the compaction experiment.
+
+The masked wavefront (renderer.render_pass) wastes VPU lanes on dead paths:
+a microbatch iterates until its *longest* surviving path dies, so late
+bounces run mostly-dead. The reference solves this with per-bounce stream
+compaction (Renderer.hpp:357-404, 431); the static-shape TPU equivalent is
+a fixed-size ray pool with **regeneration**: every iteration traces ONE
+bounce for the whole pool, then dead lanes dump their radiance
+(scatter-add by pixel id) and are refilled with fresh primary rays from the
+pixel queue. Lane occupancy stays ~100% for the entire pass; the price is
+one scatter-add per termination — which is why this is an *experiment* to
+measure against the masked path (scatters serialize on TPU).
+
+RNG sites depend only on (accumulation, pixel seed, bounce), so the pooled
+pass produces per-pixel radiance numerically identical to the masked pass
+(same draws, same paths) — summation order into the image differs only at
+the final bucket add.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.vec import Vec3
+from ..scene.scene import Scene
+from ..utils.config import RendererPolicy
+from . import renderer as _r
+
+
+class PoolState(NamedTuple):
+    path: _r.PathState  # lane state; path.bounce is PER-LANE [P] int32
+    pixel: jnp.ndarray  # [P] int32 pixel id of each lane (-1 = empty)
+    seeds: jnp.ndarray  # [P] u32 per-lane RNG base seed
+    queue_head: jnp.ndarray  # i32 scalar: next pixel to issue
+    image: tuple  # ([npix] r, g, b) accumulated radiance
+    ray_count: jnp.ndarray  # u32
+
+
+def render_pass_pooled(
+    scene: Scene,
+    policy: RendererPolicy,
+    accumulation,
+    width: int,
+    height: int,
+):
+    """One progressive sample per pixel via the regeneration pool. Returns
+    (radiance Vec3 [npix], ray_count). spp=1 only (experimental path)."""
+    assert policy.samples_per_pixel == 1, "pooled path is spp=1"
+    npix = width * height
+    pool = min(policy.rays_per_chunk, npix)
+    accumulation = jnp.asarray(accumulation, jnp.uint32)
+
+    def fresh_rays(pixel_ids):
+        """Camera rays + seeds for a vector of pixel ids (clamped)."""
+        i = jnp.clip(pixel_ids, 0, npix - 1).astype(jnp.uint32)
+        x = (i % jnp.uint32(width)).astype(jnp.int32)
+        y = (i // jnp.uint32(width)).astype(jnp.int32)
+        seeds = _r.pixel_seeds_from_index(i, width, policy)
+        p0, d0 = _r.generate_camera_rays(
+            scene.camera, x, y, accumulation, seeds, policy.enable_dof
+        )
+        return p0, d0, seeds
+
+    zero = jnp.zeros((pool,), jnp.float32)
+    one = zero + 1.0
+    empty_path = _r.PathState(
+        bounce=jnp.zeros((pool,), jnp.int32),
+        p=Vec3(zero, zero, zero),
+        d=Vec3(zero, zero, one),
+        throughput=Vec3(one, one, one),
+        radiance=Vec3(zero, zero, zero),
+        prev_pdf=zero,
+        prev_delta=zero > 1.0,
+        alive=zero < -1.0,  # all dead -> first iteration refills everything
+        ray_count=jnp.uint32(0),
+    )
+    init = PoolState(
+        path=empty_path,
+        pixel=jnp.full((pool,), -1, jnp.int32),
+        seeds=jnp.zeros((pool,), jnp.uint32),
+        queue_head=jnp.int32(0),
+        image=(jnp.zeros((npix,)), jnp.zeros((npix,)), jnp.zeros((npix,))),
+        ray_count=jnp.uint32(0),
+    )
+
+    def cond(s: PoolState):
+        return jnp.any(s.path.alive) | (s.queue_head < npix)
+
+    def body(s: PoolState) -> PoolState:
+        path = s.path
+        # 1) dump dead lanes' radiance into the image (drop empty lanes)
+        dead = ~path.alive
+        dump = dead & (s.pixel >= 0)
+        target = jnp.where(dump, s.pixel, npix)  # npix = out-of-bounds drop
+        img_r, img_g, img_b = s.image
+        img_r = img_r.at[target].add(
+            jnp.where(dump, path.radiance.x, 0.0), mode="drop"
+        )
+        img_g = img_g.at[target].add(
+            jnp.where(dump, path.radiance.y, 0.0), mode="drop"
+        )
+        img_b = img_b.at[target].add(
+            jnp.where(dump, path.radiance.z, 0.0), mode="drop"
+        )
+
+        # 2) refill dead lanes with queued primary rays
+        dead_rank = jnp.cumsum(dead.astype(jnp.int32)) - 1
+        candidate = s.queue_head + dead_rank
+        take = dead & (candidate < npix)
+        new_pixel = jnp.where(take, candidate, jnp.where(dead, -1, s.pixel))
+        p0, d0, fresh_seeds = fresh_rays(candidate)
+        zero_l = jnp.zeros((pool,), jnp.float32)
+        one_l = zero_l + 1.0
+        path = _r.PathState(
+            bounce=jnp.where(take, 0, path.bounce),
+            p=p0.where(take, path.p),
+            d=d0.where(take, path.d),
+            throughput=Vec3(one_l, one_l, one_l).where(take, path.throughput),
+            radiance=Vec3(zero_l, zero_l, zero_l).where(take, path.radiance),
+            prev_pdf=jnp.where(take, 0.0, path.prev_pdf),
+            prev_delta=jnp.where(take, False, path.prev_delta),
+            alive=path.alive | take,
+            ray_count=path.ray_count,
+        )
+        seeds = jnp.where(take, fresh_seeds, s.seeds)
+        issued = jnp.sum(take.astype(jnp.int32))
+
+        # 3) one bounce for the whole (now dense) pool
+        path = _r.bounce_step(scene, policy, accumulation, seeds, path)
+
+        return PoolState(
+            path=path,
+            pixel=new_pixel,
+            seeds=seeds,
+            queue_head=s.queue_head + issued,
+            image=(img_r, img_g, img_b),
+            ray_count=path.ray_count,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+    # final dump of lanes that died on the last iteration
+    path = final.path
+    dump = (~path.alive) & (final.pixel >= 0)
+    target = jnp.where(dump, final.pixel, npix)
+    img_r, img_g, img_b = final.image
+    img_r = img_r.at[target].add(jnp.where(dump, path.radiance.x, 0.0), mode="drop")
+    img_g = img_g.at[target].add(jnp.where(dump, path.radiance.y, 0.0), mode="drop")
+    img_b = img_b.at[target].add(jnp.where(dump, path.radiance.z, 0.0), mode="drop")
+    return Vec3(img_r, img_g, img_b), final.ray_count

@@ -1,0 +1,47 @@
+"""Pooled (ray-regeneration) wavefront vs the masked wavefront: identical
+per-pixel radiance — the two drivers share bounce_step and the counter RNG,
+so every pixel's path is the same."""
+import numpy as np
+import jax.numpy as jnp
+
+from cpu_raytracing_experiments_tpu.render import renderer, wavefront_pool
+from cpu_raytracing_experiments_tpu.scene import builders
+from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+
+W = H = 32
+
+
+def _compare(scene, policy, accumulation=1, max_mismatch_frac=0.02):
+    """The two drivers share bounce_step and the RNG schedule, so paths are
+    identical; but XLA fuses the two programs differently, and a few-ulp
+    difference can flip a *grazing* shadow-occlusion test (discriminant ~ 0).
+    Ray counts must match exactly; radiance must match everywhere except a
+    small fp-knife-edge fraction (each such pixel is a valid MC sample
+    either way — verified against the scalar oracle)."""
+    rad_m, count_m = renderer.render_pass(scene, policy, jnp.uint32(accumulation), W, H)
+    rad_p, count_p = wavefront_pool.render_pass_pooled(
+        scene, policy, jnp.uint32(accumulation), W, H
+    )
+    assert int(count_m) == int(count_p)  # same paths traced
+    mism = np.zeros(W * H, bool)
+    for c in "xyz":
+        a = np.asarray(getattr(rad_m, c))
+        b = np.asarray(getattr(rad_p, c))
+        mism |= ~np.isclose(a, b, rtol=1e-5, atol=1e-6)
+    assert mism.mean() <= max_mismatch_frac, mism.mean()
+
+
+def test_pool_matches_masked_default_scene():
+    pol = RendererPolicy(max_bounces=6, rays_per_chunk=1024)
+    _compare(builders.default_scene(W, H), pol)
+
+
+def test_pool_matches_masked_small_pool():
+    """Pool much smaller than the pixel count: many regeneration rounds."""
+    pol = RendererPolicy(max_bounces=6, rays_per_chunk=128)
+    _compare(builders.default_scene(W, H), pol, accumulation=3)
+
+
+def test_pool_matches_masked_furnace():
+    pol = RendererPolicy(max_bounces=8, rays_per_chunk=256)
+    _compare(builders.white_furnace_scene(W, H), pol)
