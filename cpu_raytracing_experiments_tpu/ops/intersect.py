@@ -192,16 +192,18 @@ def intersect_scene(
     if use_bvh and scene.sphere_bvh is not None:
         from ..bvh import traverse
 
-        tfar, prim_id = traverse.traverse_closest(
+        tfar, prim_id = traverse.traverse_closest_packed(
             scene.sphere_bvh, p, d,
-            traverse.sphere_leaf_test(scene.spheres.center, scene.spheres.radius_sq),
+            traverse.pack_spheres(scene.spheres.center, scene.spheres.radius_sq),
+            traverse.sphere_row_test,
         )
         is_tri = jnp.zeros_like(prim_id, bool)
         if scene.triangles is not None and scene.tri_bvh is not None:
             tri = scene.triangles
-            t2, id2 = traverse.traverse_closest(
+            t2, id2 = traverse.traverse_closest_packed(
                 scene.tri_bvh, p, d,
-                traverse.triangle_leaf_test(tri.v0, tri.e1, tri.e2),
+                traverse.pack_triangles(tri.v0, tri.e1, tri.e2),
+                traverse.triangle_row_test,
                 tfar0=tfar,
             )
             hit_tri = id2 >= 0
@@ -235,15 +237,17 @@ def occluded_scene(
     if use_bvh and scene.sphere_bvh is not None:
         from ..bvh import traverse
 
-        occ = traverse.traverse_shadow(
+        occ = traverse.traverse_shadow_packed(
             scene.sphere_bvh, p, d, tfar,
-            traverse.sphere_leaf_test(scene.spheres.center, scene.spheres.radius_sq),
+            traverse.pack_spheres(scene.spheres.center, scene.spheres.radius_sq),
+            traverse.sphere_row_test,
         )
         if scene.triangles is not None and scene.tri_bvh is not None:
             tri = scene.triangles
-            occ = occ | traverse.traverse_shadow(
+            occ = occ | traverse.traverse_shadow_packed(
                 scene.tri_bvh, p, d, jnp.where(occ, 0.0, tfar),
-                traverse.triangle_leaf_test(tri.v0, tri.e1, tri.e2),
+                traverse.pack_triangles(tri.v0, tri.e1, tri.e2),
+                traverse.triangle_row_test,
             )
         return occ
     if use_pallas and _pk.available() and scene.triangles is None:
