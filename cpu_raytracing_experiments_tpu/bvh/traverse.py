@@ -258,11 +258,13 @@ def traverse_closest_packed(
     leaf_rows: jnp.ndarray,
     leaf_row_test: Callable,
     tfar0=None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    with_stats: bool = False,
+):
     """Closest-hit with packed node + leaf rows.
 
     leaf_rows: [P, K] primitive table; leaf_row_test(rows [R, K], p, d) ->
-    (t [R], valid [R]).
+    (t [R], valid [R]). With with_stats, also returns the lockstep step
+    count (= worst-ray nodes visited — the quantity that gates wall time).
     """
     num_rays = p.x.shape[0]
     nodes = pack_nodes(bvh)
@@ -270,12 +272,13 @@ def traverse_closest_packed(
     tfar = jnp.full((num_rays,), FLT_MAX) if tfar0 is None else tfar0
     prim_id = jnp.full((num_rays,), -1, jnp.int32)
     cursor = jnp.zeros((num_rays,), jnp.int32)
+    steps = jnp.int32(0)
 
     def cond(state):
         return jnp.any(state[0] >= 0)
 
     def body(state):
-        cursor, tfar, prim_id = state
+        cursor, tfar, prim_id, steps = state
         active = cursor >= 0
         rows = nodes[jnp.maximum(cursor, 0)]
         mnx, mny, mnz, mxx, mxy, mxz, first, count, miss = _unpack_row(rows)
@@ -293,9 +296,13 @@ def traverse_closest_packed(
         descend = hit & ~is_leaf
         nxt = jnp.where(descend, first, miss)
         cursor = jnp.where(active, nxt, cursor)
-        return cursor, tfar, prim_id
+        return cursor, tfar, prim_id, steps + 1
 
-    _, tfar, prim_id = jax.lax.while_loop(cond, body, (cursor, tfar, prim_id))
+    _, tfar, prim_id, steps = jax.lax.while_loop(
+        cond, body, (cursor, tfar, prim_id, steps)
+    )
+    if with_stats:
+        return tfar, prim_id, steps
     return tfar, prim_id
 
 

@@ -28,6 +28,7 @@ def _policy_from_args(args):
         brdf="ggx" if args.ggx else "lambertian",
         mis=not args.no_mis,
         use_bvh=args.bvh,
+        accel="grid" if args.grid else ("bvh" if args.bvh else "brute"),
         median=not args.average,
         rays_per_chunk=args.chunk,
         enable_dof=args.dof,
@@ -59,6 +60,8 @@ def _build_scene(args):
         )
     if args.bvh:
         scene = accel.with_bvh(scene)
+    if args.grid:
+        scene = accel.with_grid(scene, res=args.grid_res)
     return scene
 
 
@@ -70,6 +73,8 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--bounces", type=int, default=8)
     p.add_argument("--chunk", type=int, default=1 << 19, help="rays per microbatch")
     p.add_argument("--bvh", action="store_true", help="BVH traversal (default: brute force, as the reference ships)")
+    p.add_argument("--grid", action="store_true", help="uniform-grid DDA traversal")
+    p.add_argument("--grid-res", type=int, default=32)
     p.add_argument("--ggx", action="store_true", help="GGX closure instead of lambertian")
     p.add_argument("--no-mis", action="store_true")
     p.add_argument("--no-rr", action="store_true", help="disable Russian roulette")

@@ -178,7 +178,8 @@ def occluded_triangles(
 # Scene-level dispatch: spheres + optional triangles, optional Pallas kernel.
 # ---------------------------------------------------------------------------
 def intersect_scene(
-    scene, p: Vec3, d: Vec3, use_pallas: bool = False, use_bvh: bool = False
+    scene, p: Vec3, d: Vec3, use_pallas: bool = False, use_bvh: bool = False,
+    accel: str = None,
 ):
     """Closest hit over all scene geometry.
 
@@ -189,7 +190,30 @@ def intersect_scene(
     scene.accel.with_bvh); the default brute-force battery matches the
     reference's shipped USEBVH=false configuration (BVH.hpp:307).
     """
-    if use_bvh and scene.sphere_bvh is not None:
+    accel = accel or ("bvh" if use_bvh else "brute")
+    if accel == "grid" and scene.sphere_grid is not None:
+        from ..bvh import grid as grid_mod, traverse
+
+        tfar, prim_id = grid_mod.traverse_grid_closest(
+            scene.sphere_grid, p, d,
+            traverse.pack_spheres(scene.spheres.center, scene.spheres.radius_sq),
+            traverse.sphere_row_test,
+        )
+        is_tri = jnp.zeros_like(prim_id, bool)
+        if scene.triangles is not None and scene.tri_grid is not None:
+            tri = scene.triangles
+            t2, id2 = grid_mod.traverse_grid_closest(
+                scene.tri_grid, p, d,
+                traverse.pack_triangles(tri.v0, tri.e1, tri.e2),
+                traverse.triangle_row_test,
+                tfar0=tfar,
+            )
+            hit_tri = id2 >= 0
+            prim_id = jnp.where(hit_tri, id2, prim_id)
+            tfar = jnp.where(hit_tri, t2, tfar)
+            is_tri = hit_tri
+        return tfar, prim_id, is_tri
+    if accel == "bvh" and scene.sphere_bvh is not None:
         from ..bvh import traverse
 
         tfar, prim_id = traverse.traverse_closest_packed(
@@ -232,9 +256,26 @@ def intersect_scene(
 
 def occluded_scene(
     scene, p: Vec3, d: Vec3, tfar: jnp.ndarray,
-    use_pallas: bool = False, use_bvh: bool = False,
+    use_pallas: bool = False, use_bvh: bool = False, accel: str = None,
 ):
-    if use_bvh and scene.sphere_bvh is not None:
+    accel = accel or ("bvh" if use_bvh else "brute")
+    if accel == "grid" and scene.sphere_grid is not None:
+        from ..bvh import grid as grid_mod, traverse
+
+        occ = grid_mod.traverse_grid_shadow(
+            scene.sphere_grid, p, d, tfar,
+            traverse.pack_spheres(scene.spheres.center, scene.spheres.radius_sq),
+            traverse.sphere_row_test,
+        )
+        if scene.triangles is not None and scene.tri_grid is not None:
+            tri = scene.triangles
+            occ = occ | grid_mod.traverse_grid_shadow(
+                scene.tri_grid, p, d, jnp.where(occ, 0.0, tfar),
+                traverse.pack_triangles(tri.v0, tri.e1, tri.e2),
+                traverse.triangle_row_test,
+            )
+        return occ
+    if accel == "bvh" and scene.sphere_bvh is not None:
         from ..bvh import traverse
 
         occ = traverse.traverse_shadow_packed(

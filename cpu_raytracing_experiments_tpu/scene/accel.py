@@ -13,7 +13,7 @@ import dataclasses
 import jax.numpy as jnp
 import numpy as np
 
-from ..bvh import builder
+from ..bvh import builder, grid as grid_mod
 from ..core.vec import Vec3
 from .scene import Scene, SphereGeometry, TriangleGeometry
 
@@ -79,3 +79,24 @@ def with_bvh(scene: Scene, leaf_size: int = 4) -> Scene:
         sphere_bvh=sphere_bvh,
         tri_bvh=tri_bvh,
     )
+
+
+def with_grid(scene: Scene, res: int = 32, max_per_cell: int = 16) -> Scene:
+    """Attach uniform DDA grids (bvh/grid.py) — no primitive reorder needed
+    (cells store primitive ids directly), so light lists stay valid."""
+    centers = np.stack(
+        [np.asarray(scene.spheres.center.x), np.asarray(scene.spheres.center.y),
+         np.asarray(scene.spheres.center.z)], axis=1,
+    )
+    radii = np.sqrt(np.asarray(scene.spheres.radius_sq))
+    mins, maxs = builder.sphere_bounds(centers, radii)
+    sphere_grid = grid_mod.build_grid(mins, maxs, res=res, max_per_cell=max_per_cell)
+    tri_grid = None
+    if scene.triangles is not None:
+        tri = scene.triangles
+        v0 = np.stack([np.asarray(tri.v0.x), np.asarray(tri.v0.y), np.asarray(tri.v0.z)], 1)
+        e1 = np.stack([np.asarray(tri.e1.x), np.asarray(tri.e1.y), np.asarray(tri.e1.z)], 1)
+        e2 = np.stack([np.asarray(tri.e2.x), np.asarray(tri.e2.y), np.asarray(tri.e2.z)], 1)
+        tmins, tmaxs = builder.triangle_bounds(v0, v0 + e1, v0 + e2)
+        tri_grid = grid_mod.build_grid(tmins, tmaxs, res=res, max_per_cell=max_per_cell)
+    return dataclasses.replace(scene, sphere_grid=sphere_grid, tri_grid=tri_grid)

@@ -255,6 +255,8 @@ class Scene:
     tri_lights: Optional[jnp.ndarray] = None  # [L2] int32 triangle indices
     sphere_bvh: Optional["BVHArrays"] = None  # attached by scene.accel.with_bvh
     tri_bvh: Optional["BVHArrays"] = None
+    sphere_grid: object = None  # UniformGrid, attached by scene.accel.with_grid
+    tri_grid: object = None
 
     @property
     def num_lights(self) -> int:

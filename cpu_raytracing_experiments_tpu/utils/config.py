@@ -33,6 +33,8 @@ class RendererPolicy:
     # consumes the Material fields the reference declares but never shades)
     mis: bool = True  # #define MIS true
     use_bvh: bool = False  # #define USEBVH false (reference ships brute force)
+    accel: str = "brute"  # 'brute' | 'bvh' (threaded) | 'grid' (DDA);
+    # use_bvh=True is an alias for accel='bvh'
     median: bool = True  # #define MEDIAN true (median vs average resolve)
 
     # TPU-specific execution knobs (no reference equivalent):
@@ -47,6 +49,10 @@ class RendererPolicy:
     # we implement real DoF behind this switch
 
     @property
+    def effective_accel(self) -> str:
+        return "bvh" if (self.use_bvh and self.accel == "brute") else self.accel
+
+    @property
     def tile_root(self) -> int:
         return 1 << self.log_tile
 
@@ -56,6 +62,7 @@ class RendererPolicy:
 
     def __post_init__(self):
         assert self.brdf in ("lambertian", "ggx", "principled"), self.brdf
+        assert self.accel in ("brute", "bvh", "grid"), self.accel
         assert self.accumulation_buckets % 2 == 1, "median needs odd buckets"
 
 
