@@ -127,6 +127,57 @@ def main():
                         error=type(e).__name__)
                     return
 
+    if which in ("all", "renders"):
+        import dataclasses
+
+        from cpu_raytracing_experiments_tpu.render import renderer
+        from cpu_raytracing_experiments_tpu.scene import accel, builders
+        from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+
+        W = H = 256
+        base = builders.random_spheres_scene(W, H, num_spheres=1000)
+        cases = {
+            "brute": (base, RendererPolicy(max_bounces=8, rays_per_chunk=65536)),
+            "bvh": (accel.with_bvh(base),
+                    RendererPolicy(max_bounces=8, rays_per_chunk=65536, accel="bvh")),
+            "grid": (accel.with_grid(base, res=32),
+                     RendererPolicy(max_bounces=8, rays_per_chunk=65536, accel="grid")),
+        }
+        for name, (sc, pol) in cases.items():
+            f = jax.jit(lambda s, a, _p=pol: renderer.render_pass(s, _p, a, W, H))
+            try:
+                rad, cnt = with_timeout(240, f, sc, jnp.uint32(1))
+                jax.block_until_ready(rad)
+                t0 = time.perf_counter()
+                reps = 3
+                for k in range(reps):
+                    rad, cnt = f(sc, jnp.uint32(k + 2))
+                jax.block_until_ready(rad)
+                dt = (time.perf_counter() - t0) / reps
+                log(event="render_1k", kind=name, ms=round(dt * 1e3, 1),
+                    mrays_per_s=round(int(cnt) / dt / 1e6, 2))
+            except Exception as e:
+                log(event="render_1k", kind=name, ok=False, error=type(e).__name__)
+                return
+
+        # mesh scene (82k tris) small frame, grid accel
+        W2 = H2 = 192
+        mesh = accel.with_grid(builders.mesh_scene(W2, H2, subdivisions=6), res=48)
+        pol = RendererPolicy(max_bounces=5, rays_per_chunk=36864, accel="grid")
+        f = jax.jit(lambda s, a: renderer.render_pass(s, pol, a, W2, H2))
+        try:
+            rad, cnt = with_timeout(280, f, mesh, jnp.uint32(1))
+            jax.block_until_ready(rad)
+            t0 = time.perf_counter()
+            rad, cnt = f(mesh, jnp.uint32(2))
+            jax.block_until_ready(rad)
+            dt = time.perf_counter() - t0
+            log(event="render_mesh82k", kind="grid", ms=round(dt * 1e3, 1),
+                mrays_per_s=round(int(cnt) / dt / 1e6, 2))
+        except Exception as e:
+            log(event="render_mesh82k", kind="grid", ok=False, error=type(e).__name__)
+            return
+
     if which in ("all", "pool"):
         from functools import partial
 

@@ -48,15 +48,24 @@ def _build_scene(args):
     if args.scene == "mesh" and args.subdiv:
         kwargs["subdivisions"] = args.subdiv
     scene = builders.SCENES[args.scene](args.width, args.height, **kwargs)
-    if args.hdri:
+    if args.hdri or args.sky:
         import dataclasses
 
         from .scene.scene import Sky
         from .utils import image as image_io
 
+        if args.hdri:
+            img = image_io.read_hdr(args.hdri)
+        else:
+            from .scene import sky_models
+
+            img = (
+                sky_models.clear_sky()
+                if args.sky == "clear"
+                else sky_models.studio_gradient()
+            )
         scene = dataclasses.replace(
-            scene,
-            sky=Sky.from_image(image_io.read_hdr(args.hdri), ambient=(1.0, 1.0, 1.0)),
+            scene, sky=Sky.from_image(img, ambient=(1.0, 1.0, 1.0))
         )
     if args.bvh:
         scene = accel.with_bvh(scene)
@@ -82,6 +91,7 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--dof", action="store_true", help="thin-lens depth of field")
     p.add_argument("--sky-bug-compat", action="store_true", help="reproduce the reference's throughput.r sky bug")
     p.add_argument("--hdri", help="equirect .hdr environment map for the sky")
+    p.add_argument("--sky", choices=["clear", "studio"], help="procedural sky model")
     p.add_argument("--spheres", type=int, help="sphere count for bvh_test/random_spheres scenes")
     p.add_argument("--subdiv", type=int, help="icosphere subdivisions for the mesh scene")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")

@@ -1,0 +1,68 @@
+"""Sky: equirect lookup, procedural models, HDRI wiring."""
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from cpu_raytracing_experiments_tpu.core.vec import Vec3
+from cpu_raytracing_experiments_tpu.render.api import Renderer
+from cpu_raytracing_experiments_tpu.scene import builders, sky_models
+from cpu_raytracing_experiments_tpu.scene.scene import Sky
+from cpu_raytracing_experiments_tpu.utils import image as image_io
+from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+
+
+def test_equirect_lookup_directions():
+    """Known texels: +Y hits top row, -Y bottom row, axis directions map to
+    the expected columns (Primitives.hpp:35-46 mapping)."""
+    h, w = 8, 16
+    img = np.arange(h * w * 3, dtype=np.float32).reshape(h, w, 3)
+    sky = Sky.from_image(img)
+
+    def fetch(d):
+        v = Vec3(
+            jnp.asarray([d[0]], jnp.float32),
+            jnp.asarray([d[1]], jnp.float32),
+            jnp.asarray([d[2]], jnp.float32),
+        )
+        out = sky.sample(v)
+        return float(out.x[0])
+
+    # +Y (up) -> asin(1) = pi/2 -> v = 0 (top row)
+    top = fetch((0.0, 1.0, 0.0))
+    bottom = fetch((0.0, -1.0, 0.0))
+    assert top in img[0, :, 0]
+    assert bottom in img[h - 1, :, 0]
+    # +X: atan2(0, 1) = 0 -> u = 0.5 of width
+    px = fetch((1.0, 0.0, 0.0))
+    assert px in img[:, (w - 1) // 2 : (w - 1) // 2 + 2, 0]
+
+
+def test_procedural_sky_properties():
+    img = sky_models.clear_sky(128, 64, sun_intensity=100.0)
+    assert img.shape == (64, 128, 3)
+    assert np.isfinite(img).all() and (img >= 0).all()
+    # sun is the brightest spot
+    assert img.max() > 10
+    # upper hemisphere (sky) brighter than ground on average (excluding sun)
+    top_half = np.median(img[: 64 // 2].sum(-1))
+    bottom_half = np.median(img[64 // 2 :].sum(-1))
+    assert top_half > bottom_half
+
+
+def test_hdri_sky_render_roundtrip(tmp_path):
+    """Write a procedural sky to .hdr, load it back as the scene sky, and
+    render: miss rays must pick up the sky's colors."""
+    img = sky_models.clear_sky(64, 32, sun_intensity=5.0)
+    p = tmp_path / "sky.hdr"
+    image_io.write_hdr(p, img)
+    loaded = image_io.read_hdr(p)
+    scene = builders.white_furnace_scene(32, 32)
+    scene = dataclasses.replace(
+        scene, sky=Sky.from_image(loaded, ambient=(1.0, 1.0, 1.0))
+    )
+    pol = RendererPolicy(max_bounces=4, rays_per_chunk=1024)
+    out = Renderer(scene, pol, 32, 32).render_spp(5, tonemap=False)
+    assert np.isfinite(out).all()
+    # blue-ish sky should dominate: b channel > r channel on average
+    assert out[..., 2].mean() > out[..., 0].mean()
