@@ -1,0 +1,41 @@
+"""Metrics/observability tests."""
+import json
+
+import numpy as np
+
+from cpu_raytracing_experiments_tpu.utils import metrics
+
+
+def test_ewma_matches_reference_alpha():
+    """alpha = 2/(N+1) with N=64 (Application.cpp:310-311)."""
+    e = metrics.Ewma(64)
+    assert abs(e.alpha - 2.0 / 65.0) < 1e-12
+    assert e.update(10.0) == 10.0
+    v = e.update(20.0)
+    assert abs(v - (10.0 + (2 / 65) * 10.0)) < 1e-9
+
+
+def test_bucket_variance_estimate():
+    """For iid N(mu, sigma^2) samples split into B buckets, the estimator
+    approximates sigma^2 / n_total."""
+    g = np.random.default_rng(0)
+    b, per_bucket, npix = 5, 200, 64
+    sigma = 2.0
+    samples = g.normal(5.0, sigma, (b, per_bucket, 3, npix))
+    buckets = samples.sum(axis=1)  # [B, 3, npix] sums
+    est = metrics.bucket_variance_estimate(buckets, accumulations=b * per_bucket)
+    want = sigma**2 / (b * per_bucket)
+    assert abs(est - want) < 0.3 * want
+
+
+def test_jsonl_logging(tmp_path):
+    p = tmp_path / "m.jsonl"
+    log = metrics.MetricsLogger(p, quiet=True)
+    log.log_step(spp=5, step_wall=0.5, width=64, height=64, rays=100000)
+    log.log(event="done", foo=1)
+    lines = [json.loads(x) for x in p.read_text().splitlines()]
+    assert len(lines) == 2
+    assert lines[0]["event"] == "step"
+    assert lines[0]["Mrays_per_s"] == 0.2
+    assert lines[0]["Msamples_per_s"] == round(64 * 64 / 0.5 / 1e6, 3)
+    assert lines[1] == {"event": "done", "foo": 1}
