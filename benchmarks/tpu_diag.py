@@ -178,6 +178,20 @@ def main():
             log(event="render_mesh82k", kind="grid", ok=False, error=type(e).__name__)
             return
 
+    if which in ("all", "shares"):
+        from cpu_raytracing_experiments_tpu.scene import builders
+        from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+        from cpu_raytracing_experiments_tpu.utils.profiling import stage_shares
+
+        try:
+            scene = builders.default_scene(1920, 1088)
+            pol = RendererPolicy(max_bounces=8, rays_per_chunk=1 << 19)
+            shares = with_timeout(400, stage_shares, scene, pol, 1920, 1088, 5)
+            log(event="stage_shares", **{k: round(v * 1e3, 2) for k, v in shares.items()})
+        except Exception as e:
+            log(event="stage_shares", ok=False, error=type(e).__name__)
+            return
+
     if which in ("all", "pool"):
         from functools import partial
 
