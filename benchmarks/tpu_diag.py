@@ -136,14 +136,21 @@ def main():
 
         W = H = 256
         base = builders.random_spheres_scene(W, H, num_spheres=1000)
+        log(event="render_1k_setup", stage="base_built")
         cases = {
-            "brute": (base, RendererPolicy(max_bounces=8, rays_per_chunk=65536)),
-            "bvh": (accel.with_bvh(base),
+            "brute": (lambda: base, RendererPolicy(max_bounces=8, rays_per_chunk=65536)),
+            "bvh": (lambda: accel.with_bvh(base),
                     RendererPolicy(max_bounces=8, rays_per_chunk=65536, accel="bvh")),
-            "grid": (accel.with_grid(base, res=32),
+            "grid": (lambda: accel.with_grid(base, res=32),
                      RendererPolicy(max_bounces=8, rays_per_chunk=65536, accel="grid")),
         }
-        for name, (sc, pol) in cases.items():
+        for name, (mk, pol) in cases.items():
+            try:
+                sc = with_timeout(180, mk)
+                log(event="render_1k_setup", stage=name)
+            except Exception as e:
+                log(event="render_1k_setup", stage=name, ok=False, error=type(e).__name__)
+                return
             f = jax.jit(lambda s, a, _p=pol: renderer.render_pass(s, _p, a, W, H))
             try:
                 rad, cnt = with_timeout(240, f, sc, jnp.uint32(1))

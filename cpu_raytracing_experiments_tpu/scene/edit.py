@@ -162,3 +162,77 @@ class SceneEditor:
             self.renderer.reset_accumulator()
             self.flags = SceneUpdate.NULL
         return self
+
+
+# ---------------------------------------------------------------------------
+# Fly-camera motion (View::Rotate / View::Translate, Camera.hpp:47-59 +
+# the WASDQE/mouse handling of Application.cpp:309-333). Host-side quat
+# math; returns (scene, CAMERA flag) like the other edits — callers reset
+# the accumulator on commit exactly as the reference does (:332).
+# ---------------------------------------------------------------------------
+def _quat_mul(a, b):
+    ax, ay, az, aw = a
+    bx, by, bz, bw = b
+    return np.array(
+        [
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+            aw * bw - ax * bx - ay * by - az * bz,
+        ]
+    )
+
+
+def _quat_conj(q):
+    return np.array([-q[0], -q[1], -q[2], q[3]])
+
+
+def _quat_from_euler(angles):
+    """glm::quat{vec3 euler} (pitch, yaw, roll), XYZ intrinsic."""
+    half = np.asarray(angles, np.float64) * 0.5
+    cx, cy, cz = np.cos(half)
+    sx, sy, sz = np.sin(half)
+    return np.array(
+        [
+            sx * cy * cz - cx * sy * sz,
+            cx * sy * cz + sx * cy * sz,
+            cx * cy * sz - sx * sy * cz,
+            cx * cy * cz + sx * sy * sz,
+        ]
+    )
+
+
+def _camera_quat(scene):
+    c = scene.camera.orient
+    return np.array([float(c.x), float(c.y), float(c.z), float(c.w)])
+
+
+def rotate_camera_local(scene: Scene, angles):
+    """View::Rotate (Camera.hpp:51-53): orient = conj(normalize(quat(angles)
+    * conj(orient))). angles = (pitch, yaw, roll) radians."""
+    from ..core.vec import Quat
+
+    q = _camera_quat(scene)
+    rot = _quat_from_euler(angles)
+    new = _quat_conj(_quat_mul(rot, _quat_conj(q)))
+    new = new / np.linalg.norm(new)
+    cam = dataclasses.replace(
+        scene.camera,
+        orient=Quat(*[jnp.float32(v) for v in new]),
+    )
+    return dataclasses.replace(scene, camera=cam), SceneUpdate.CAMERA
+
+
+def translate_camera_local(scene: Scene, local):
+    """View::Translate (Camera.hpp:54-56): pos += orient * local."""
+    q = _camera_quat(scene)
+    v = np.asarray(local, np.float64)
+    qv = q[:3]
+    t = 2.0 * np.cross(qv, v)
+    world = v + q[3] * t + np.cross(qv, t)
+    pos = np.array(
+        [float(scene.camera.pos.x), float(scene.camera.pos.y),
+         float(scene.camera.pos.z)]
+    ) + world
+    cam = dataclasses.replace(scene.camera, pos=Vec3.splat(pos))
+    return dataclasses.replace(scene, camera=cam), SceneUpdate.CAMERA

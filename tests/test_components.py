@@ -169,3 +169,38 @@ def test_ggx_mirror_furnace():
     pol = dataclasses.replace(POL, brdf="ggx")
     img = Renderer(scene, pol, 16, 16).render_spp(5, tonemap=False)
     np.testing.assert_allclose(img, 1.0, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# fly-camera motion (View::Rotate/Translate, Camera.hpp:47-59)
+# ---------------------------------------------------------------------------
+def test_translate_camera_local():
+    scene = builders.default_scene(16, 16)
+    import numpy as _np
+
+    # forward in camera space is -Z; translating (0,0,-1) moves along view dir
+    before = _np.array([float(scene.camera.pos.x), float(scene.camera.pos.y),
+                        float(scene.camera.pos.z)])
+    s2, flags = edit.translate_camera_local(scene, (0.0, 0.0, -1.0))
+    assert flags == edit.SceneUpdate.CAMERA
+    after = _np.array([float(s2.camera.pos.x), float(s2.camera.pos.y),
+                       float(s2.camera.pos.z)])
+    moved = after - before
+    # view forward for the default scene is normalize((0.1,-0.4,-1))
+    fwd = _np.array([0.1, -0.4, -1.0]); fwd /= _np.linalg.norm(fwd)
+    _np.testing.assert_allclose(moved, fwd, atol=1e-5)
+
+
+def test_rotate_camera_roundtrip():
+    scene = builders.default_scene(16, 16)
+    import numpy as _np
+
+    q0 = edit._camera_quat(scene)
+    s2, _ = edit.rotate_camera_local(scene, (0.1, -0.2, 0.05))
+    s3, _ = edit.rotate_camera_local(s2, (-0.0, 0.0, 0.0))
+    q2 = edit._camera_quat(s2)
+    assert not _np.allclose(q0, q2)
+    assert abs(_np.linalg.norm(q2) - 1.0) < 1e-6
+    # rotating keeps it a valid view (renders fine)
+    r = Renderer(s2, POL, 16, 16)
+    r.accumulate(1)
