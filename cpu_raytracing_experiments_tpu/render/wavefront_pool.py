@@ -15,6 +15,11 @@ RNG sites depend only on (accumulation, pixel seed, bounce), so the pooled
 pass produces per-pixel radiance numerically identical to the masked pass
 (same draws, same paths) — summation order into the image differs only at
 the final bucket add.
+
+MEASURED VERDICT (v5e, hero scene 1920x1088, 8 bounces): 187.5 ms/pass vs
+24.6 ms/pass masked — the per-iteration scatter-add and cumsum refill cost
+~7.6x more than the dead lanes they reclaim. Kept as the documented
+compaction experiment; the masked wavefront is the production path.
 """
 from __future__ import annotations
 
