@@ -121,7 +121,7 @@ def main():
     subdiv = 3 if q else 5  # 5 -> 20,480 tris
     w = 128 if q else 384
     scene = builders.mesh_scene(w, w, subdivisions=subdiv)
-    pol = RendererPolicy(max_bounces=5)
+    pol = RendererPolicy(max_bounces=5, rays_per_chunk=65536)
     results.append(
         measure(f"5. mesh {20 * 4**subdiv // 1000}k tris (brute)", scene, pol, w, w, 256, passes=2)
     )
