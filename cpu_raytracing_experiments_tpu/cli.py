@@ -27,6 +27,7 @@ def _policy_from_args(args):
         max_bounces=args.bounces,
         brdf="ggx" if args.ggx else "lambertian",
         mis=not args.no_mis,
+        light_sampling=args.light_sampling,
         use_bvh=args.bvh,
         accel="grid" if args.grid else ("bvh" if args.bvh else "brute"),
         median=not args.average,
@@ -86,6 +87,8 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--grid-res", type=int, default=32)
     p.add_argument("--ggx", action="store_true", help="GGX closure instead of lambertian")
     p.add_argument("--no-mis", action="store_true")
+    p.add_argument("--light-sampling", choices=["uniform", "power"], default="uniform",
+                   help="NEE light selection: uniform (reference) or power-proportional")
     p.add_argument("--no-rr", action="store_true", help="disable Russian roulette")
     p.add_argument("--average", action="store_true", help="average-of-buckets instead of median-of-means")
     p.add_argument("--dof", action="store_true", help="thin-lens depth of field")

@@ -174,6 +174,102 @@ def _closure_pdf(policy, mat, l_local, v_local):
     )
 
 
+def _light_selection_weights(scene: Scene, point: Vec3):
+    """[R, L] unnormalized selection weights for power-proportional NEE
+    (policy.light_sampling='power'): max emission x approximate subtended
+    solid angle from `point`. Sphere lights first, then triangle lights."""
+    cols = []
+    if int(scene.lights.shape[0]) > 0:
+        lc = scene.spheres.center.gather(scene.lights)  # [L]
+        lr_sq = scene.spheres.radius_sq[scene.lights]
+        em = scene.materials.emission.gather(
+            scene.spheres.material_id[scene.lights]
+        ).max_component()
+        dx = lc.x[None, :] - point.x[:, None]
+        dy = lc.y[None, :] - point.y[:, None]
+        dz = lc.z[None, :] - point.z[:, None]
+        d2 = dx * dx + dy * dy + dz * dz
+        cols.append(em[None, :] * lr_sq[None, :] / jnp.maximum(d2, lr_sq[None, :]))
+    if scene.tri_lights is not None and int(scene.tri_lights.shape[0]) > 0:
+        tri = scene.triangles
+        # triangle centroid = v0 + (e1 + e2)/3
+        cx = tri.v0.x[scene.tri_lights] + (
+            tri.e1.x[scene.tri_lights] + tri.e2.x[scene.tri_lights]
+        ) / 3.0
+        cy = tri.v0.y[scene.tri_lights] + (
+            tri.e1.y[scene.tri_lights] + tri.e2.y[scene.tri_lights]
+        ) / 3.0
+        cz = tri.v0.z[scene.tri_lights] + (
+            tri.e1.z[scene.tri_lights] + tri.e2.z[scene.tri_lights]
+        ) / 3.0
+        area = tri.area[scene.tri_lights]
+        em = scene.materials.emission.gather(
+            tri.material_id[scene.tri_lights]
+        ).max_component()
+        dx = cx[None, :] - point.x[:, None]
+        dy = cy[None, :] - point.y[:, None]
+        dz = cz[None, :] - point.z[:, None]
+        d2 = dx * dx + dy * dy + dz * dz
+        cols.append(em[None, :] * area[None, :] / jnp.maximum(d2, area[None, :]))
+    return jnp.concatenate(cols, axis=1)
+
+
+def _select_light(scene: Scene, policy: RendererPolicy, point: Vec3, f, light_count):
+    """Select a light from one unit draw `f`. Returns (selected [R] int32,
+    selection_pdf [R]). Uniform mode is bit-identical to the reference's
+    rand_bounded_int (Random.hpp:31-34)."""
+    if policy.light_sampling == "uniform" or light_count == 1:
+        sel = jnp.minimum(
+            jnp.uint32(light_count - 1),
+            (f * jnp.float32(light_count)).astype(jnp.uint32),
+        ).astype(jnp.int32)
+        return sel, jnp.full_like(f, 1.0 / light_count)
+    w = _light_selection_weights(scene, point)  # [R, L]
+    total = jnp.sum(w, axis=1)
+    ok = total > 0.0
+    cdf = jnp.cumsum(w, axis=1)
+    target = f * total
+    sel = jnp.sum((cdf <= target[:, None]).astype(jnp.int32), axis=1)
+    sel = jnp.clip(sel, 0, light_count - 1)
+    p_sel = jnp.take_along_axis(w, sel[:, None], axis=1)[:, 0] / jnp.maximum(
+        total, 1e-30
+    )
+    # degenerate all-zero weights: uniform fallback
+    sel_u = jnp.minimum(
+        jnp.uint32(light_count - 1), (f * jnp.float32(light_count)).astype(jnp.uint32)
+    ).astype(jnp.int32)
+    return (
+        jnp.where(ok, sel, sel_u),
+        jnp.where(ok, p_sel, 1.0 / light_count),
+    )
+
+
+def _hit_light_selection_pdf(scene, policy, state, prim_id, is_tri, light_count):
+    """Selection pdf the PREVIOUS shading point (the ray origin, state.p)
+    would have used for the light we just hit — needed for emissive-hit MIS
+    under power-proportional selection."""
+    if policy.light_sampling == "uniform" or light_count == 1:
+        return 1.0 / light_count
+    w = _light_selection_weights(scene, state.p)  # [R, L]
+    total = jnp.maximum(jnp.sum(w, axis=1), 1e-30)
+    # locate the hit prim in the light lists
+    n_s = int(scene.lights.shape[0])
+    idx = jnp.zeros_like(prim_id)
+    found = jnp.zeros_like(is_tri)
+    if n_s > 0:
+        match_s = (~is_tri)[:, None] & (prim_id[:, None] == scene.lights[None, :])
+        idx = jnp.where(match_s.any(axis=1), jnp.argmax(match_s, axis=1), idx)
+        found = found | match_s.any(axis=1)
+    if scene.tri_lights is not None and int(scene.tri_lights.shape[0]) > 0:
+        match_t = is_tri[:, None] & (prim_id[:, None] == scene.tri_lights[None, :])
+        idx = jnp.where(
+            match_t.any(axis=1), n_s + jnp.argmax(match_t, axis=1), idx
+        )
+        found = found | match_t.any(axis=1)
+    p = jnp.take_along_axis(w, idx[:, None], axis=1)[:, 0] / total
+    return jnp.where(found, p, 1.0 / light_count)
+
+
 def _next_event_estimation(
     scene: Scene,
     policy: RendererPolicy,
@@ -200,12 +296,12 @@ def _next_event_estimation(
     light_count = n_sphere_lights + n_tri_lights
     if light_count == 0:
         return Vec3.zeros(state.p.x.shape), jnp.zeros_like(hit)
-    light_selection_pdf = 1.0 / float(light_count)
-
     site = rng.hash_2d(accumulation, seeds + jnp.uint32(2) * state.bounce.astype(jnp.uint32))
     site, (t_draw, s_draw) = rng.draws(site, 2)
-    site, selected = rng.rand_bounded_int(site, jnp.uint32(light_count))
-    selected = selected.astype(jnp.int32)
+    site, sel_draw = rng.rand_unit_float(site)
+    selected, light_selection_pdf = _select_light(
+        scene, policy, p_offset, sel_draw, light_count
+    )
 
     zeros = jnp.zeros_like(state.p.x)
     l_dir = Vec3(zeros, zeros, zeros)
@@ -320,7 +416,9 @@ def _emissive_hit(
     if not policy.mis or light_count == 0:
         weight = jnp.ones_like(tfar)
     else:
-        light_selection_pdf = 1.0 / float(light_count)
+        light_selection_pdf = _hit_light_selection_pdf(
+            scene, policy, state, prim_id, is_tri, light_count
+        )
         safe_sphere = jnp.maximum(jnp.where(is_tri, 0, prim_id), 0)
         radius2 = scene.spheres.radius_sq[safe_sphere]
         n_dot_v = v_local.z

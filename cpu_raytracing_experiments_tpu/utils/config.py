@@ -32,6 +32,10 @@ class RendererPolicy:
     # 'principled' (full material model: diffuse + specular + transmission —
     # consumes the Material fields the reference declares but never shades)
     mis: bool = True  # #define MIS true
+    light_sampling: str = "uniform"  # 'uniform' (reference, Renderer.hpp:259)
+    # | 'power' — per-ray categorical selection proportional to emission x
+    # solid angle, the improvement the reference marks "COSA A INVESTIGAR"
+    # (Renderer.hpp:260); unbiased (exact selection pdf feeds the same MIS)
     use_bvh: bool = False  # #define USEBVH false (reference ships brute force)
     accel: str = "brute"  # 'brute' | 'bvh' (threaded) | 'grid' (DDA);
     # use_bvh=True is an alias for accel='bvh'
@@ -63,6 +67,7 @@ class RendererPolicy:
     def __post_init__(self):
         assert self.brdf in ("lambertian", "ggx", "principled"), self.brdf
         assert self.accel in ("brute", "bvh", "grid"), self.accel
+        assert self.light_sampling in ("uniform", "power"), self.light_sampling
         assert self.accumulation_buckets % 2 == 1, "median needs odd buckets"
 
 

@@ -1,0 +1,95 @@
+"""Power-proportional NEE light selection ('COSA A INVESTIGAR',
+Renderer.hpp:260): unbiasedness vs uniform, and variance reduction on
+many-light scenes."""
+import dataclasses
+
+import numpy as np
+
+from cpu_raytracing_experiments_tpu.render.api import Renderer
+from cpu_raytracing_experiments_tpu.scene import builders
+from cpu_raytracing_experiments_tpu.scene.builders import _SceneBuilder
+from cpu_raytracing_experiments_tpu.scene.scene import Camera, Sky
+from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+
+POL_U = RendererPolicy(max_bounces=4, rays_per_chunk=2048)
+POL_P = dataclasses.replace(POL_U, light_sampling="power")
+
+
+def _many_light_scene(width=32, height=32):
+    """A floor lit by one strong nearby light + 15 weak distant ones —
+    the case where uniform selection wastes 15/16 of its shadow rays."""
+    b = _SceneBuilder()
+    floor = b.material(albedo=(0.8, 0.8, 0.8), roughness=1.0)
+    b.sphere((0.0, -100.5, 0.0), 100.0, floor)
+    strong = b.material(emission=(80.0, 80.0, 80.0), albedo=(1, 1, 1))
+    b.sphere((0.0, 1.2, 0.0), 0.15, strong)
+    weak = b.material(emission=(0.4, 0.4, 0.4), albedo=(1, 1, 1))
+    g = np.random.default_rng(5)
+    for _ in range(15):
+        b.sphere(
+            (float(g.uniform(-30, 30)), float(g.uniform(15, 40)),
+             float(g.uniform(-30, 30))),
+            0.3,
+            weak,
+        )
+    cam = Camera.create(eye=(0, 1.2, 4), forward=(0, -0.25, -1),
+                        width=width, height=height)
+    return b.build(cam, Sky.constant((0.0, 0.0, 0.0)))
+
+
+def test_power_sampling_unbiased():
+    """Long-run means agree between uniform and power selection."""
+    scene = _many_light_scene()
+    a = Renderer(scene, POL_U, 32, 32)
+    a.accumulate(300)
+    b = Renderer(scene, POL_P, 32, 32)
+    b.accumulate(300)
+    ma = np.asarray(a.state.buckets).sum(0) / 300
+    mb = np.asarray(b.state.buckets).sum(0) / 300
+    assert abs(ma.mean() - mb.mean()) < 0.05 * max(ma.mean(), 1e-6), (
+        ma.mean(), mb.mean(),
+    )
+
+
+def test_power_sampling_reduces_variance():
+    """Bucket spread (per-pixel variance proxy) drops with power selection
+    on the many-light scene."""
+    scene = _many_light_scene()
+    a = Renderer(scene, POL_U, 32, 32)
+    a.accumulate(100)
+    b = Renderer(scene, POL_P, 32, 32)
+    b.accumulate(100)
+    var_u = np.asarray(a.state.buckets).std(axis=0).mean()
+    var_p = np.asarray(b.state.buckets).std(axis=0).mean()
+    assert var_p < var_u * 0.8, (var_u, var_p)
+
+
+def test_power_sampling_single_light_matches_uniform():
+    """With exactly one light the two modes are bit-identical."""
+    scene = builders.default_scene(16, 16)
+    import jax.numpy as jnp
+    import dataclasses as dc
+
+    # keep only the first light by zeroing the other emissive materials
+    mats = scene.materials
+    from cpu_raytracing_experiments_tpu.core.vec import Vec3
+
+    keep = int(scene.spheres.material_id[int(scene.lights[0])])
+    mask = jnp.arange(mats.emission.x.shape[0]) == keep
+    em = Vec3(
+        jnp.where(mask, mats.emission.x, 0.0),
+        jnp.where(mask, mats.emission.y, 0.0),
+        jnp.where(mask, mats.emission.z, 0.0),
+    )
+    from cpu_raytracing_experiments_tpu.scene import edit
+
+    scene = dc.replace(scene, materials=dc.replace(mats, emission=em))
+    scene = edit.apply_invalidation(scene, edit.SceneUpdate.MATERIAL)
+    assert scene.num_lights == 1
+    a = Renderer(scene, POL_U, 16, 16)
+    a.accumulate(5)
+    b = Renderer(scene, POL_P, 16, 16)
+    b.accumulate(5)
+    np.testing.assert_array_equal(
+        np.asarray(a.state.buckets), np.asarray(b.state.buckets)
+    )
