@@ -145,11 +145,13 @@ def sample_direction_to_sphere(wc: Vec3, sin_theta_max2, center_dist, radius_sq,
     cos_theta = jnp.where(small, invert, cos_theta)
     sin_theta = jnp.where(small, sin_theta, invert)
     temp = center_dist * sin_theta
-    distance = (
-        center_dist * cos_theta
-        - jnp.sqrt(jnp.maximum(0.0, radius_sq - temp * temp))
-        - 1e-5
+    raw = center_dist * cos_theta - jnp.sqrt(
+        jnp.maximum(0.0, radius_sq - temp * temp)
     )
+    # shadow-epsilon pull-back: the reference subtracts a fixed 1e-5
+    # (Sampling.hpp:231) which is below one float32 ulp beyond distance ~84
+    # and lets the light sphere occlude its own shadow rays; scale-aware.
+    distance = raw - jnp.maximum(1e-5, raw * 1e-5)
     l_local = spherical_to_cartesian(s, sin_theta, cos_theta)
     wc_x, wc_y = orthonormal_basis(wc)
     l = Vec3(

@@ -71,7 +71,8 @@ def render_aovs(
     @jax.jit
     def compute(scene):
         p0, d0 = _renderer.generate_camera_rays(
-            scene.camera, x, y, jnp.uint32(accumulation), seeds, policy.enable_dof
+            scene.camera, x, y, jnp.uint32(accumulation), seeds,
+            policy.enable_dof, policy,
         )
         tfar, prim_id, is_tri = intersect.intersect_scene(
             scene, p0, d0, use_bvh=policy.use_bvh

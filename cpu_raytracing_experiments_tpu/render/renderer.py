@@ -94,8 +94,17 @@ def pixel_seeds(width: int, height: int, policy: RendererPolicy) -> jnp.ndarray:
     )
 
 
+def _site_state(accumulation, counter, policy):
+    """RNG site state (Renderer.hpp:117/255/362), optionally avalanche-
+    scrambled (policy.rng_scramble) to break hash_2d's lattice structure."""
+    state = rng.hash_2d(accumulation, counter)
+    if policy.rng_scramble:
+        state = rng.hash_u32(state)
+    return state
+
+
 def generate_camera_rays(
-    camera, x, y, accumulation, seeds, enable_dof: bool
+    camera, x, y, accumulation, seeds, enable_dof: bool, policy=None
 ) -> Tuple[Vec3, Vec3]:
     """Primary ray generation (Camera.hpp:80-88 + Renderer.hpp:113-127).
 
@@ -104,6 +113,8 @@ def generate_camera_rays(
     disk, retarget through the focus plane.
     """
     state = rng.hash_2d(accumulation, seeds)
+    if policy is not None and policy.rng_scramble:
+        state = rng.hash_u32(state)
     n_draws = 4 if enable_dof else 2
     state, ds = rng.draws(state, n_draws)
     vx = x.astype(jnp.float32) + ds[0] - camera.half_width
@@ -148,7 +159,18 @@ def _closest_hit_frame(scene: Scene, state: PathState, tfar, prim_id, is_tri):
     n = (-n).where(backface, n)
     t = sampling.tangent_space(n)
     v_local = sampling.to_local(t, -state.d)
-    p_offset = hit_pt + n * 1e-4
+    # Normal offset against self-intersection. The reference uses a fixed
+    # 1e-4 (Renderer.hpp:190-192), which is only ~13 float32 ulps at
+    # coordinate magnitude 100 and produces severe shadow acne in its own
+    # BVH_test-scale scenes; we scale with the hit point's magnitude.
+    eps = jnp.maximum(
+        1e-4,
+        3e-5
+        * jnp.maximum(
+            jnp.abs(hit_pt.x), jnp.maximum(jnp.abs(hit_pt.y), jnp.abs(hit_pt.z))
+        ),
+    )
+    p_offset = hit_pt + n * eps
     return p_offset, n, t, v_local, mat_id, backface, hit_pt
 
 
@@ -296,7 +318,11 @@ def _next_event_estimation(
     light_count = n_sphere_lights + n_tri_lights
     if light_count == 0:
         return Vec3.zeros(state.p.x.shape), jnp.zeros_like(hit)
-    site = rng.hash_2d(accumulation, seeds + jnp.uint32(2) * state.bounce.astype(jnp.uint32))
+    site = _site_state(
+        accumulation,
+        seeds + jnp.uint32(2) * state.bounce.astype(jnp.uint32),
+        policy,
+    )
     site, (t_draw, s_draw) = rng.draws(site, 2)
     site, sel_draw = rng.rand_unit_float(site)
     selected, light_selection_pdf = _select_light(
@@ -367,7 +393,7 @@ def _next_event_estimation(
         )
         em_t = scene.materials.emission.gather(tri.material_id[light_tri])
         l_dir = dir_t.where(ok, l_dir)
-        l_dist = jnp.where(ok, dist - 1e-4, l_dist)
+        l_dist = jnp.where(ok, dist - jnp.maximum(1e-4, dist * 3e-5), l_dist)
         l_pdf = jnp.where(ok, pdf_t, l_pdf)
         l_emission = em_t.where(ok, l_emission)
         valid = valid | ok
@@ -543,9 +569,10 @@ def bounce_step(scene, policy, accumulation, seeds, state: PathState) -> PathSta
             )
 
         # ---- BRDF SAMPLE + RUSSIAN ROULETTE (:357-404) ----
-        site = rng.hash_2d(
+        site = _site_state(
             accumulation,
             seeds + jnp.uint32(2) * state.bounce.astype(jnp.uint32) + jnp.uint32(1),
+            policy,
         )
         if policy.brdf == "principled":
             # draw order: lobe, u, v, fresnel, rr
@@ -580,9 +607,11 @@ def bounce_step(scene, policy, accumulation, seeds, state: PathState) -> PathSta
         # (Renderer.hpp:386,401) — a frame mixup; we evaluate in local frame.
         next_pdf = _closure_pdf(policy, mat, bsdf_dir, v_local)
         if policy.brdf == "principled":
-            # transmitted rays continue BELOW the surface: flip the offset
+            # transmitted rays continue BELOW the surface: mirror the
+            # (scale-aware) offset to the other side of the surface
             below = bsdf_dir.z < 0.0
-            p_next_origin = (hit_pt - n * 1e-4).where(below, p_offset)
+            p_below = hit_pt - (p_offset - hit_pt)
+            p_next_origin = p_below.where(below, p_offset)
         else:
             p_next_origin = p_offset
 
@@ -662,7 +691,7 @@ def render_pass(
     def chunk_fn(args):
         cx, cy, cseed = args
         p0, d0 = generate_camera_rays(
-            scene.camera, cx, cy, accumulation, cseed, policy.enable_dof
+            scene.camera, cx, cy, accumulation, cseed, policy.enable_dof, policy
         )
         return trace_rays(scene, policy, accumulation, cseed, p0, d0, vma_axes)
 

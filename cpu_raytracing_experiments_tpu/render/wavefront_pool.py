@@ -64,7 +64,7 @@ def render_pass_pooled(
         y = (i // jnp.uint32(width)).astype(jnp.int32)
         seeds = _r.pixel_seeds_from_index(i, width, policy)
         p0, d0 = _r.generate_camera_rays(
-            scene.camera, x, y, accumulation, seeds, policy.enable_dof
+            scene.camera, x, y, accumulation, seeds, policy.enable_dof, policy
         )
         return p0, d0, seeds
 

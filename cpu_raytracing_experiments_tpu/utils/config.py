@@ -48,6 +48,13 @@ class RendererPolicy:
     sky_bug_compat: bool = False  # reproduce Renderer.hpp:416-418 (throughput.r
     # multiplies all three sky channels) for bit-compatibility testing
     russian_roulette: bool = True
+    rng_scramble: bool = False  # apply a hash_u32 avalanche pass to each RNG
+    # site state. The reference's hash_2d (Random.hpp:45-50) is an LCG-style
+    # hash with lattice structure over the arithmetic seed progression,
+    # which shows as faint diagonal screen-space banding in smooth
+    # sky/occlusion lighting (visible in many-sphere scenes; the reference
+    # has the same artifact). False = bit-parity with the reference;
+    # True = scrambled, banding-free.
     enable_dof: bool = False  # thin-lens depth of field: the reference declares
     # aperture/focus (Camera.hpp:17-26) but never uses them in generate_ray;
     # we implement real DoF behind this switch

@@ -106,7 +106,8 @@ def sample_dir_to_sphere(wc, sin2, cdist, r2, t, s):
     inv = np.sqrt(max(0.0, 1.0 - blend * blend))
     cos_t, sin_t = (inv, sin_t) if small else (cos_t, inv)
     temp = cdist * sin_t
-    dist = cdist * cos_t - np.sqrt(max(0.0, r2 - temp * temp)) - 1e-5
+    raw = cdist * cos_t - np.sqrt(max(0.0, r2 - temp * temp))
+    dist = raw - max(1e-5, raw * 1e-5)  # scale-aware pull-back (see sampling.py)
     phi = 2.0 * np.pi * s
     local = np.array([sin_t * np.cos(phi), sin_t * np.sin(phi), cos_t])
     x, y = orthonormal_basis(wc)
@@ -202,7 +203,8 @@ def trace_pixel(scene_np, x, y, accumulation, seed, max_bounces, width, height,
             n = -n
         tq = tangent_space(n)
         v_local = to_local(tq, -d)
-        p_off = hit_pt + n * 1e-4
+        eps = max(1e-4, 3e-5 * np.abs(hit_pt).max())  # scale-aware offset
+        p_off = hit_pt + n * eps
 
         # NEE (Renderer.hpp:247-298)
         if light_count:
