@@ -156,6 +156,32 @@ def cmd_render(args):
         log.log(event="done", spp=int(r.state.accumulations), mean=float(img.mean()))
 
 
+def cmd_aov(args):
+    """First-bounce AOV renders (depth/normal/albedo/prim_id)."""
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from .render import probes
+    from .utils import image as image_io
+
+    policy = _policy_from_args(args)
+    scene = _build_scene(args)
+    aovs = probes.render_aovs(scene, policy, args.width, args.height)
+    prefix = args.out_prefix
+    depth = aovs["depth"]
+    finite = np.isfinite(depth)
+    dmax = depth[finite].max() if finite.any() else 1.0
+    image_io.write_png(f"{prefix}_depth.png",
+                       np.repeat((np.where(finite, depth / max(dmax, 1e-6), 1.0))[..., None], 3, -1))
+    image_io.write_png(f"{prefix}_normal.png", aovs["normal"] * 0.5 + 0.5)
+    image_io.write_png(f"{prefix}_albedo.png", aovs["albedo"])
+    np.save(f"{prefix}_prim_id.npy", aovs["prim_id"])
+    print(f"wrote {prefix}_{{depth,normal,albedo}}.png + _prim_id.npy")
+
+
 def cmd_bench(args):
     import runpy
     import pathlib
@@ -194,6 +220,11 @@ def main(argv=None):
     p.add_argument("--checkpoint", help="checkpoint path (resumes if it exists)")
     p.add_argument("--checkpoint-every", type=int, default=0, help="spp between checkpoint writes")
     p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser("aov", help="first-bounce AOVs (depth/normal/albedo)")
+    _add_common(p)
+    p.add_argument("--out-prefix", default="aov")
+    p.set_defaults(fn=cmd_aov)
 
     p = sub.add_parser("bench", help="run the standard benchmark")
     p.set_defaults(fn=cmd_bench)

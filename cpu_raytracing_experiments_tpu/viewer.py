@@ -4,9 +4,17 @@ GLFW/Vulkan/ImGui shell (/root/reference/App.cpp, Application.cpp:361-421).
 A background thread accumulates samples continuously (the progressive
 refinement loop); an HTTP server serves the current median-of-means resolve
 as PNG plus a stats endpoint mirroring the reference HUD (spp, ms/frame,
-Msamples/s). Camera/scene edits arrive as query parameters and reset the
-accumulator, preserving the reference's edit -> invalidate -> re-render
-semantics (UpdateTracker, Application.cpp:335-358).
+Msamples/s). Scene/camera edits arrive as query parameters and go through
+scene/edit.py, preserving the reference's edit -> invalidate -> re-render
+semantics (UpdateTracker, Application.cpp:335-358):
+
+  /edit?material=2&albedo=0.8,0.2,0.2&roughness=0.5
+  /edit?material=1&emission=50,50,50
+  /edit?sphere=0&pos=0,1,0&radius=0.5
+  /edit?ambient=1,1,1
+  /camera?translate=0,0,-0.5      (local frame, like WASD flight)
+  /camera?rotate=0.05,0.1,0       (pitch, yaw, roll radians)
+  /camera?focus=128,96            (depth-probe autofocus at pixel x,y)
 """
 from __future__ import annotations
 
@@ -15,6 +23,7 @@ import json
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
@@ -103,6 +112,52 @@ def serve(scene, policy, width: int, height: int, port: int = 8000):
                 with lock:
                     renderer.reset_accumulator()
                 self._send(200, "text/plain", b"ok")
+            elif path in ("/edit", "/camera"):
+                from .scene import edit as edit_mod
+
+                q = {k: v[0] for k, v in parse_qs(urlparse(self.path).query).items()}
+
+                def vec(key):
+                    return tuple(float(t) for t in q[key].split(","))
+
+                try:
+                    with lock:
+                        editor = edit_mod.SceneEditor(renderer)
+                        if "material" in q:
+                            idx = int(q["material"])
+                            fields = {}
+                            for f in ("albedo", "emission", "f0", "f80", "transmission"):
+                                if f in q:
+                                    fields[f] = vec(f)
+                            for f in ("roughness", "ior_minus_one"):
+                                if f in q:
+                                    fields[f] = float(q[f])
+                            editor.edit(edit_mod.set_material, idx, **fields)
+                        if "sphere" in q:
+                            idx = int(q["sphere"])
+                            editor.edit(
+                                edit_mod.set_sphere, idx,
+                                position=vec("pos") if "pos" in q else None,
+                                radius=float(q["radius"]) if "radius" in q else None,
+                            )
+                        if "ambient" in q:
+                            editor.edit(edit_mod.set_ambient, vec("ambient"))
+                        if "translate" in q:
+                            editor.edit(edit_mod.translate_camera_local, vec("translate"))
+                        if "rotate" in q:
+                            editor.edit(edit_mod.rotate_camera_local, vec("rotate"))
+                        if "focus" in q:
+                            from .render import probes
+
+                            fx, fy = (int(t) for t in q["focus"].split(","))
+                            renderer.scene = probes.autofocus(
+                                renderer.scene, fx, fy, width, height
+                            )
+                            editor.flags |= edit_mod.SceneUpdate.CAMERA
+                        editor.commit()
+                    self._send(200, "text/plain", b"ok")
+                except Exception as e:  # bad query -> 400 with reason
+                    self._send(400, "text/plain", f"error: {e}".encode())
             else:
                 self._send(404, "text/plain", b"not found")
 
