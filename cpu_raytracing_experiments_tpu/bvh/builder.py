@@ -7,8 +7,6 @@ consumed by bvh/traverse.py.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

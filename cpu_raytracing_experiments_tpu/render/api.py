@@ -8,7 +8,6 @@ from functools import partial
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..scene.scene import Scene

@@ -14,13 +14,10 @@ render/checkpoint.py).
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
 from ..core import color, sampling
-from ..core.vec import Vec3
 from ..scene.scene import Scene
 from ..utils.config import RendererPolicy
 from . import renderer as _renderer

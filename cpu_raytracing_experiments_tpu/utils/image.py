@@ -10,7 +10,6 @@ fallback and the correctness oracle.
 """
 from __future__ import annotations
 
-import struct
 from pathlib import Path
 
 import numpy as np
