@@ -29,7 +29,8 @@ def _policy_from_args(args):
         mis=not args.no_mis,
         light_sampling=args.light_sampling,
         use_bvh=args.bvh,
-        accel="grid" if args.grid else ("bvh" if args.bvh else "brute"),
+        accel=("clustered" if args.clustered else
+               "grid" if args.grid else "bvh" if args.bvh else "brute"),
         median=not args.average,
         rays_per_chunk=args.chunk,
         enable_dof=args.dof,
@@ -72,6 +73,8 @@ def _build_scene(args):
         scene = accel.with_bvh(scene)
     if args.grid:
         scene = accel.with_grid(scene, res=args.grid_res)
+    if args.clustered:
+        scene = accel.with_clusters(scene, num_clusters=args.clusters)
     return scene
 
 
@@ -85,6 +88,9 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--bvh", action="store_true", help="BVH traversal (default: brute force, as the reference ships)")
     p.add_argument("--grid", action="store_true", help="uniform-grid DDA traversal")
     p.add_argument("--grid-res", type=int, default=32)
+    p.add_argument("--clustered", action="store_true",
+                   help="morton-clustered culled batteries (large scenes)")
+    p.add_argument("--clusters", type=int, default=64)
     p.add_argument("--ggx", action="store_true", help="GGX closure instead of lambertian")
     p.add_argument("--no-mis", action="store_true")
     p.add_argument("--light-sampling", choices=["uniform", "power"], default="uniform",

@@ -1,0 +1,237 @@
+"""Cluster-culled brute-force batteries — the large-scene intersection
+backend that actually fits the TPU.
+
+Measured reality (ARCHITECTURE.md): per-ray traversal loops (BVH threading,
+grid DDA) lose to the dense battery by 40-90x on TPU because every lockstep
+step pays full-chunk gathers. This backend keeps ALL math dense and gets
+its speedup from *chunk-level* culling instead:
+
+  * primitives are morton-ordered and chopped into C equal clusters
+    (host-side, like the BVH build); each cluster has an AABB;
+  * per ray-chunk, a cheap [R x C] slab battery marks clusters any ray
+    could hit before its current tfar;
+  * a `lax.scan` over clusters runs the [R x P/C] primitive battery under
+    `lax.cond` — clusters no ray touches are SKIPPED at runtime (cond
+    executes one branch), so the work scales with the number of *touched*
+    clusters, not total primitives.
+
+Ray chunks are screen/origin-coherent, so primary and shadow chunks touch a
+small fraction of clusters; fully incoherent chunks degrade gracefully to
+~brute-force cost plus the (cheap) cull pass. Clusters are visited in
+near-to-far order of slab-entry distance averaged over the chunk, so tfar
+tightens early and later clusters cull harder.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.vec import Vec3
+
+FLT_MAX = 3.4028235e38
+
+
+def _pytree_dataclass(cls, meta=()):
+    cls = dataclasses.dataclass(cls)
+    fields = [f.name for f in dataclasses.fields(cls) if f.name not in meta]
+    jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=list(meta))
+    return cls
+
+
+@lambda cls: _pytree_dataclass(cls, meta=("num_clusters", "cluster_size", "kind"))
+class ClusteredPrims:
+    """Morton-clustered primitive arrays (padded to C * K)."""
+
+    rows: jnp.ndarray  # [C*K, F] packed prim rows (sphere: 4, triangle: 9)
+    order: jnp.ndarray  # [C*K] int32 original prim id (-1 = padding)
+    lo: Vec3  # [C] cluster AABB min
+    hi: Vec3  # [C] cluster AABB max
+    num_clusters: int = 0
+    cluster_size: int = 0
+    kind: str = "sphere"
+
+
+def _morton3(x, y, z):
+    def spread(v):
+        v = v.astype(np.uint64) & 0x1FFFFF
+        v = (v | (v << 32)) & 0x1F00000000FFFF
+        v = (v | (v << 16)) & 0x1F0000FF0000FF
+        v = (v | (v << 8)) & 0x100F00F00F00F00F
+        v = (v | (v << 4)) & 0x10C30C30C30C30C3
+        v = (v | (v << 2)) & 0x1249249249249249
+        return v
+
+    return spread(x) | (spread(y) << 1) | (spread(z) << 2)
+
+
+def build_clusters(
+    mins: np.ndarray,
+    maxs: np.ndarray,
+    rows: np.ndarray,
+    num_clusters: int = 64,
+    kind: str = "sphere",
+) -> ClusteredPrims:
+    """Host-side clustering: morton-sort prim centroids, chop into
+    `num_clusters` contiguous runs, pad to equal size. `rows` is the packed
+    per-prim test data ([P,4] spheres / [P,9] triangles)."""
+    mins = np.asarray(mins, np.float64)
+    maxs = np.asarray(maxs, np.float64)
+    p = mins.shape[0]
+    num_clusters = max(1, min(num_clusters, p))
+    cent = 0.5 * (mins + maxs)
+    lo = cent.min(axis=0)
+    span = np.maximum(cent.max(axis=0) - lo, 1e-12)
+    q = ((cent - lo) / span * ((1 << 21) - 1)).astype(np.uint64)
+    order = np.argsort(_morton3(q[:, 0], q[:, 1], q[:, 2]), kind="stable")
+
+    k = -(-p // num_clusters)
+    padded = num_clusters * k
+    full_order = np.full(padded, -1, np.int64)
+    full_order[:p] = order
+    # padding rows: far-away degenerate prims that can never hit
+    pad_row = np.zeros(rows.shape[1], np.float32)
+    pad_row[0] = 1e16
+    all_rows = np.vstack([rows.astype(np.float32), pad_row[None, :]])
+    packed = all_rows[np.where(full_order >= 0, full_order, p)]
+
+    c_lo = np.empty((num_clusters, 3), np.float32)
+    c_hi = np.empty((num_clusters, 3), np.float32)
+    for c in range(num_clusters):
+        ids = full_order[c * k : (c + 1) * k]
+        ids = ids[ids >= 0]
+        if ids.size:
+            c_lo[c] = mins[ids].min(axis=0)
+            c_hi[c] = maxs[ids].max(axis=0)
+        else:
+            c_lo[c] = 1e16
+            c_hi[c] = 1e16
+    return ClusteredPrims(
+        rows=jnp.asarray(packed),
+        order=jnp.asarray(full_order.astype(np.int32)),
+        lo=Vec3(*[jnp.asarray(c_lo[:, i]) for i in range(3)]),
+        hi=Vec3(*[jnp.asarray(c_hi[:, i]) for i in range(3)]),
+        num_clusters=num_clusters,
+        cluster_size=k,
+        kind=kind,
+    )
+
+
+def _cluster_cull(cp: ClusteredPrims, p: Vec3, d: Vec3, tfar):
+    """[C] any-ray-hits mask + chunk-mean entry distance per cluster."""
+    inv = Vec3(1.0 / d.x, 1.0 / d.y, 1.0 / d.z)
+    # [R, C] slab test
+    lox = (cp.lo.x[None, :] - p.x[:, None]) * inv.x[:, None]
+    hix = (cp.hi.x[None, :] - p.x[:, None]) * inv.x[:, None]
+    tmin = jnp.minimum(lox, hix)
+    tmax = jnp.maximum(lox, hix)
+    loy = (cp.lo.y[None, :] - p.y[:, None]) * inv.y[:, None]
+    hiy = (cp.hi.y[None, :] - p.y[:, None]) * inv.y[:, None]
+    tmin = jnp.maximum(tmin, jnp.minimum(loy, hiy))
+    tmax = jnp.minimum(tmax, jnp.maximum(loy, hiy))
+    loz = (cp.lo.z[None, :] - p.z[:, None]) * inv.z[:, None]
+    hiz = (cp.hi.z[None, :] - p.z[:, None]) * inv.z[:, None]
+    tmin = jnp.maximum(tmin, jnp.minimum(loz, hiz))
+    tmax = jnp.minimum(tmax, jnp.maximum(loz, hiz))
+    hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < tfar[:, None])
+    any_hit = jnp.any(hit, axis=0)
+    entry = jnp.where(hit, jnp.maximum(tmin, 0.0), FLT_MAX)
+    mean_entry = jnp.min(entry, axis=0)  # nearest entry over the chunk
+    return any_hit, mean_entry
+
+
+def _cluster_candidates(rows: jnp.ndarray, kind: str, p: Vec3, d: Vec3):
+    """Dense [R, K] candidate distances for one cluster's packed rows."""
+    from . import intersect as _i
+
+    if kind == "sphere":
+        center = Vec3(rows[:, 0], rows[:, 1], rows[:, 2])
+        return _i._sphere_candidates(p, d, center.x, center.y, center.z, rows[:, 3])
+    v0 = Vec3(rows[:, 0], rows[:, 1], rows[:, 2])
+    e1 = Vec3(rows[:, 3], rows[:, 4], rows[:, 5])
+    e2 = Vec3(rows[:, 6], rows[:, 7], rows[:, 8])
+    return _i._triangle_candidates(p, d, v0, e1, e2)
+
+
+def intersect_clustered(
+    cp: ClusteredPrims,
+    p: Vec3,
+    d: Vec3,
+    tfar0=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closest hit over the clustered primitives. Returns (tfar, prim_id in
+    ORIGINAL primitive numbering, -1 = miss). Each touched cluster runs the
+    same dense [R, K] battery as the brute backend; untouched clusters are
+    skipped by lax.cond at runtime."""
+    num_rays = p.x.shape[0]
+    tfar = jnp.full((num_rays,), FLT_MAX) if tfar0 is None else tfar0
+    prim_id = jnp.full((num_rays,), -1, jnp.int32)
+    any_hit, entry = _cluster_cull(cp, p, d, tfar)
+    # visit near clusters first so tfar tightens and later clusters cull
+    visit = jnp.argsort(entry)
+    k = cp.cluster_size
+    kind = cp.kind
+
+    def body(carry, c):
+        tfar, prim_id = carry
+
+        def run(args):
+            tfar, prim_id = args
+            base = c * k
+            rows = jax.lax.dynamic_slice_in_dim(cp.rows, base, k, axis=0)
+            ids = jax.lax.dynamic_slice_in_dim(cp.order, base, k, axis=0)
+            t = _cluster_candidates(rows, kind, p, d)  # [R, K]
+            t = jnp.where(ids[None, :] >= 0, t, FLT_MAX)
+            best = jnp.min(t, axis=1)
+            arg = jnp.argmin(t, axis=1)
+            closer = best < tfar
+            return (
+                jnp.where(closer, best, tfar),
+                jnp.where(closer, ids[arg], prim_id),
+            )
+
+        tfar, prim_id = jax.lax.cond(
+            any_hit[c], run, lambda a: a, (tfar, prim_id)
+        )
+        return (tfar, prim_id), None
+
+    (tfar, prim_id), _ = jax.lax.scan(body, (tfar, prim_id), visit)
+    return tfar, prim_id
+
+
+def occluded_clustered(
+    cp: ClusteredPrims,
+    p: Vec3,
+    d: Vec3,
+    tfar: jnp.ndarray,
+) -> jnp.ndarray:
+    """Any-hit: clusters skipped when untouched OR once every ray is
+    occluded."""
+    num_rays = p.x.shape[0]
+    occluded = jnp.zeros((num_rays,), bool)
+    any_hit, entry = _cluster_cull(cp, p, d, tfar)
+    visit = jnp.argsort(entry)
+    k = cp.cluster_size
+    kind = cp.kind
+
+    def body(carry, c):
+        occluded = carry
+
+        def run(occluded):
+            base = c * k
+            rows = jax.lax.dynamic_slice_in_dim(cp.rows, base, k, axis=0)
+            ids = jax.lax.dynamic_slice_in_dim(cp.order, base, k, axis=0)
+            t = _cluster_candidates(rows, kind, p, d)
+            t = jnp.where(ids[None, :] >= 0, t, FLT_MAX)
+            return occluded | jnp.any(t < tfar[:, None], axis=1)
+
+        occluded = jax.lax.cond(
+            any_hit[c] & ~jnp.all(occluded), run, lambda o: o, occluded
+        )
+        return occluded, None
+
+    occluded, _ = jax.lax.scan(body, occluded, visit)
+    return occluded

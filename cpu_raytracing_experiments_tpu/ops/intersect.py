@@ -191,6 +191,18 @@ def intersect_scene(
     reference's shipped USEBVH=false configuration (BVH.hpp:307).
     """
     accel = accel or ("bvh" if use_bvh else "brute")
+    if accel == "clustered" and scene.sphere_clusters is not None:
+        from . import clustered as _cl
+
+        tfar, prim_id = _cl.intersect_clustered(scene.sphere_clusters, p, d)
+        is_tri = jnp.zeros_like(prim_id, bool)
+        if scene.triangles is not None and scene.tri_clusters is not None:
+            t2, id2 = _cl.intersect_clustered(scene.tri_clusters, p, d, tfar0=tfar)
+            hit_tri = id2 >= 0
+            prim_id = jnp.where(hit_tri, id2, prim_id)
+            tfar = jnp.where(hit_tri, t2, tfar)
+            is_tri = hit_tri
+        return tfar, prim_id, is_tri
     if accel == "grid" and scene.sphere_grid is not None:
         from ..bvh import grid as grid_mod, traverse
 
@@ -259,6 +271,15 @@ def occluded_scene(
     use_pallas: bool = False, use_bvh: bool = False, accel: str = None,
 ):
     accel = accel or ("bvh" if use_bvh else "brute")
+    if accel == "clustered" and scene.sphere_clusters is not None:
+        from . import clustered as _cl
+
+        occ = _cl.occluded_clustered(scene.sphere_clusters, p, d, tfar)
+        if scene.triangles is not None and scene.tri_clusters is not None:
+            occ = occ | _cl.occluded_clustered(
+                scene.tri_clusters, p, d, jnp.where(occ, 0.0, tfar)
+            )
+        return occ
     if accel == "grid" and scene.sphere_grid is not None:
         from ..bvh import grid as grid_mod, traverse
 

@@ -100,3 +100,37 @@ def with_grid(scene: Scene, res: int = 32, max_per_cell: int = 16) -> Scene:
         tmins, tmaxs = builder.triangle_bounds(v0, v0 + e1, v0 + e2)
         tri_grid = grid_mod.build_grid(tmins, tmaxs, res=res, max_per_cell=max_per_cell)
     return dataclasses.replace(scene, sphere_grid=sphere_grid, tri_grid=tri_grid)
+
+
+def with_clusters(scene: Scene, num_clusters: int = 64) -> Scene:
+    """Attach morton-clustered battery tables (ops/clustered.py) — the
+    large-scene backend. No primitive reorder (cluster tables carry original
+    ids), so light lists stay valid."""
+    import numpy as _np
+
+    from ..ops import clustered
+
+    centers = _np.stack(
+        [_np.asarray(scene.spheres.center.x), _np.asarray(scene.spheres.center.y),
+         _np.asarray(scene.spheres.center.z)], axis=1,
+    )
+    radii = _np.sqrt(_np.asarray(scene.spheres.radius_sq))
+    mins, maxs = builder.sphere_bounds(centers, radii)
+    rows = _np.concatenate([centers, _np.asarray(scene.spheres.radius_sq)[:, None]], axis=1)
+    sphere_clusters = clustered.build_clusters(
+        mins, maxs, rows, num_clusters=num_clusters, kind="sphere"
+    )
+    tri_clusters = None
+    if scene.triangles is not None:
+        tri = scene.triangles
+        v0 = _np.stack([_np.asarray(tri.v0.x), _np.asarray(tri.v0.y), _np.asarray(tri.v0.z)], 1)
+        e1 = _np.stack([_np.asarray(tri.e1.x), _np.asarray(tri.e1.y), _np.asarray(tri.e1.z)], 1)
+        e2 = _np.stack([_np.asarray(tri.e2.x), _np.asarray(tri.e2.y), _np.asarray(tri.e2.z)], 1)
+        tmins, tmaxs = builder.triangle_bounds(v0, v0 + e1, v0 + e2)
+        trows = _np.concatenate([v0, e1, e2], axis=1)
+        tri_clusters = clustered.build_clusters(
+            tmins, tmaxs, trows, num_clusters=num_clusters, kind="triangle"
+        )
+    return dataclasses.replace(
+        scene, sphere_clusters=sphere_clusters, tri_clusters=tri_clusters
+    )

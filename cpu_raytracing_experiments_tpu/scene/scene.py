@@ -257,6 +257,8 @@ class Scene:
     tri_bvh: Optional["BVHArrays"] = None
     sphere_grid: object = None  # UniformGrid, attached by scene.accel.with_grid
     tri_grid: object = None
+    sphere_clusters: object = None  # ClusteredPrims (scene.accel.with_clusters)
+    tri_clusters: object = None
 
     @property
     def num_lights(self) -> int:

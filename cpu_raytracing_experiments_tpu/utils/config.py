@@ -37,8 +37,9 @@ class RendererPolicy:
     # solid angle, the improvement the reference marks "COSA A INVESTIGAR"
     # (Renderer.hpp:260); unbiased (exact selection pdf feeds the same MIS)
     use_bvh: bool = False  # #define USEBVH false (reference ships brute force)
-    accel: str = "brute"  # 'brute' | 'bvh' (threaded) | 'grid' (DDA);
-    # use_bvh=True is an alias for accel='bvh'
+    accel: str = "brute"  # 'brute' | 'bvh' (threaded) | 'grid' (DDA) |
+    # 'clustered' (morton clusters + lax.cond-skipped dense batteries — the
+    # large-scene backend); use_bvh=True is an alias for accel='bvh'
     median: bool = True  # #define MEDIAN true (median vs average resolve)
 
     # TPU-specific execution knobs (no reference equivalent):
@@ -73,7 +74,7 @@ class RendererPolicy:
 
     def __post_init__(self):
         assert self.brdf in ("lambertian", "ggx", "principled"), self.brdf
-        assert self.accel in ("brute", "bvh", "grid"), self.accel
+        assert self.accel in ("brute", "bvh", "grid", "clustered"), self.accel
         assert self.light_sampling in ("uniform", "power"), self.light_sampling
         assert self.accumulation_buckets % 2 == 1, "median needs odd buckets"
 
