@@ -269,3 +269,196 @@ def trace_pixel(scene_np, x, y, accumulation, seed, max_bounces, width, height,
         p, d, throughput = p_off, world_dir, new_thr
 
     return radiance
+
+
+# ---- GGX closure (DataStreams.hpp:184-218, Sampling.hpp:252-309) -----------
+def _disk(t, s):
+    phi = 2.0 * np.pi * s
+    r = np.sqrt(t)
+    return r * np.cos(phi), r * np.sin(phi)
+
+
+def vndf_sample(v_local, alpha, u, v):
+    a = max(alpha, 1e-6)
+    vv = normalize(np.array([a * v_local[0], a * v_local[1], v_local[2]]))
+    dx, dy = _disk(u, v)
+    t = 1.0 - dx * dx
+    lerp_t = vv[2] * 0.5 + 0.5
+    dy = np.sqrt(max(0.0, t)) * (1.0 - lerp_t) + dy * lerp_t
+    x, y = orthonormal_basis(vv)
+    hz = np.sqrt(max(0.0, t - dy * dy))
+    h = x * dx + y * dy + vv * hz
+    return normalize(np.array([a * h[0], a * h[1], max(0.0, h[2])]))
+
+
+def pow5(x):
+    t = x * x
+    return x * t * t
+
+
+def fresnel(f0, hv):
+    w = pow5(min(max(1.0 - hv, 0.0), 1.0))
+    return f0 * (1.0 - w) + w
+
+
+def ggx_d(a2, ndh2):
+    temp = 1.0 + (a2 - 1.0) * ndh2
+    return a2 / (np.pi * temp * temp)
+
+
+def smith_g2_lagarde(a2, ndl, ndv):
+    a = ndv * np.sqrt(a2 + ndl * (ndl - a2 * ndl))
+    b = ndl * np.sqrt(a2 + ndv * (ndv - a2 * ndv))
+    return 0.5 / max(a + b, 1e-20)
+
+
+def g1_ggx(a2, nds2):
+    return 2.0 / (1.0 + np.sqrt(((a2 * (1.0 - nds2)) + nds2) / max(nds2, 1e-20)))
+
+
+def g2_over_g1(a2, ndl, ndv):
+    g1v = g1_ggx(a2, ndv * ndv)
+    g1l = g1_ggx(a2, ndl * ndl)
+    return g1l / max(g1v + g1l - g1v * g1l, 1e-20)
+
+
+def ggx_eval(f0, alpha, l_local, v_local):
+    ndl = max(0.0, l_local[2])
+    ndv = max(0.0, v_local[2])
+    h = normalize(l_local + v_local)
+    ndh = max(0.0, h[2])
+    hdv = max(0.0, float(np.dot(h, v_local)))
+    a2 = alpha * alpha
+    return fresnel(f0, hdv) * (
+        ndl * ggx_d(max(1e-5, a2), ndh * ndh) * smith_g2_lagarde(a2, ndl, ndv)
+    )
+
+
+def ggx_pdf(alpha, l_local, v_local):
+    if l_local[2] <= 0.0:
+        return 0.0
+    ndv = max(1e-6, v_local[2])
+    h = normalize(l_local + v_local)
+    ndh = max(0.0, h[2])
+    a2 = max(1e-7, alpha * alpha)
+    g1 = g1_ggx(a2, ndv * ndv)
+    d = ggx_d(a2, ndh * ndh)
+    return g1 * d / max(4.0 * ndv, 1e-6)
+
+
+def ggx_sample(f0, alpha, v_local, u, v):
+    ndv = max(0.0, v_local[2])
+    if alpha == 0.0:
+        direction = np.array([-v_local[0], -v_local[1], v_local[2]])
+        hdv = ndv
+    else:
+        h = vndf_sample(v_local, alpha, u, v)
+        hdv_raw = float(np.dot(h, v_local))
+        direction = 2.0 * hdv_raw * h - v_local
+        hdv = max(0.0, hdv_raw)
+    ndl = max(0.0, direction[2])
+    est = fresnel(f0, hdv) * g2_over_g1(alpha * alpha, ndl, ndv)
+    return direction, est
+
+
+def trace_pixel_ggx(scene_np, x, y, accumulation, seed, max_bounces, width,
+                    height, camera):
+    """GGX-mode path (policy.brdf='ggx'): F0/alpha closure everywhere."""
+    centers = scene_np["centers"]
+    radius_sq = scene_np["radius_sq"]
+    mat_id = scene_np["mat_id"]
+    f0s = scene_np["f0"]
+    rough = scene_np["roughness"]
+    emission = scene_np["emission"]
+    lights = scene_np["lights"]
+    ambient = scene_np["ambient"]
+    light_count = len(lights)
+    lsel_pdf = 1.0 / light_count if light_count else 0.0
+
+    r = Rng(hash_2d(accumulation, seed))
+    sx, sy = r.unit(), r.unit()
+    view = np.array([x + sx - camera["half_w"], y + sy - camera["half_h"], camera["z"]])
+    qx, qy, qz, qw = camera["orient"]
+    qv = np.array([qx, qy, qz])
+    t2 = 2.0 * np.cross(qv, normalize(view))
+    d = normalize(normalize(view) + qw * t2 + np.cross(qv, t2))
+    p = np.array(camera["pos"], np.float64)
+
+    radiance = np.zeros(3)
+    throughput = np.ones(3)
+    prev_pdf = 0.0
+
+    for bounce in range(max_bounces):
+        tfar, prim = intersect_all(p, d, centers, radius_sq)
+        if prim < 0:
+            if ambient.max() > 0.0:
+                radiance += throughput * ambient
+            break
+        m = mat_id[prim]
+        alpha = rough[m] * rough[m]
+        f0 = f0s[m]
+        hit_pt = p + d * tfar
+        n = normalize(hit_pt - centers[prim])
+        if np.dot(n, d) >= 0.0:
+            n = -n
+        tq = tangent_space(n)
+        v_local = to_local(tq, -d)
+        eps = max(1e-4, 3e-5 * np.abs(hit_pt).max())
+        p_off = hit_pt + n * eps
+
+        if light_count:
+            rn = Rng(hash_2d(accumulation, (seed + bounce * 2) & M32))
+            lt, ls = rn.unit(), rn.unit()
+            sel = rn.bounded(light_count)
+            lp = lights[sel]
+            ok = lp != prim
+            wc = centers[lp] - p_off
+            cd2 = float(np.dot(wc, wc))
+            ok = ok and cd2 > radius_sq[lp]
+            if ok:
+                cd = np.sqrt(cd2)
+                wc = wc / cd
+                sin2 = radius_sq[lp] / cd2
+                ndw = to_local(tq, wc)[2]
+                if not (ndw < 0.0 and sin2 < ndw * ndw):
+                    ldir, ldist, lpdf = sample_dir_to_sphere(
+                        wc, sin2, cd, radius_sq[lp], lt, ls
+                    )
+                    l_local = to_local(tq, ldir)
+                    if l_local[2] >= 0.0:
+                        shadow_rad = (
+                            emission[mat_id[lp]] * throughput
+                            * ggx_eval(f0, alpha, l_local, v_local)
+                        )
+                        lpdf = lpdf * lsel_pdf
+                        brdf_pdf = ggx_pdf(alpha, l_local, v_local)
+                        shadow_rad = shadow_rad * power_heuristic_over_f(lpdf, brdf_pdf)
+                        if shadow_rad.max() > 0.0 and not occluded(
+                            p_off, ldir, ldist, centers, radius_sq
+                        ):
+                            radiance += shadow_rad
+
+        em = emission[m]
+        if em.max() > FLT_EPS:
+            if bounce > 0 and light_count:
+                r2 = radius_sq[prim]
+                ndotv = v_local[2]
+                cd2 = tfar * (tfar + ndotv * 2.0 * np.sqrt(r2)) + r2
+                w = power_heuristic(prev_pdf, lsel_pdf * sphere_pdf(r2, max(cd2, 1e-20)))
+            else:
+                w = 1.0
+            radiance += throughput * em * w
+
+        rb = Rng(hash_2d(accumulation, (seed + bounce * 2 + 1) & M32))
+        u, v = rb.unit(), rb.unit()
+        local_dir, est = ggx_sample(f0, alpha, v_local, u, v)
+        new_thr = throughput * est
+        q = 1.0 - new_thr.max()
+        if rb.unit() < q:
+            break
+        new_thr = new_thr / max(FLT_EPS, 1.0 - q)
+        world_dir = to_world(tq, local_dir)
+        prev_pdf = ggx_pdf(alpha, local_dir, v_local)
+        p, d, throughput = p_off, world_dir, new_thr
+
+    return radiance

@@ -35,6 +35,11 @@ def _scene_to_np(scene):
             [np.asarray(scene.materials.emission.x), np.asarray(scene.materials.emission.y),
              np.asarray(scene.materials.emission.z)], axis=1,
         ).astype(np.float64),
+        "f0": np.stack(
+            [np.asarray(scene.materials.f0.x), np.asarray(scene.materials.f0.y),
+             np.asarray(scene.materials.f0.z)], axis=1,
+        ).astype(np.float64),
+        "roughness": np.asarray(scene.materials.roughness, np.float64),
         "lights": np.asarray(scene.lights),
         "ambient": np.array(
             [float(scene.sky.ambient.x), float(scene.sky.ambient.y),
@@ -89,3 +94,28 @@ def test_white_furnace_matches_oracle():
     scene = builders.white_furnace_scene(W, H)
     pixels = np.arange(0, W * H, 37)
     assert _compare(scene, 1, pixels) == 0
+
+
+def test_ggx_mode_matches_oracle():
+    """policy.brdf='ggx' end-to-end vs the oracle's GGX path (VNDF sampling,
+    Lagarde G2, correct pdf in the MIS)."""
+    import dataclasses
+
+    scene = builders.brdf_test_scene(W, H)
+    pol = dataclasses.replace(POL, brdf="ggx")
+    scene_np = _scene_to_np(scene)
+    cam = _camera_to_np(scene)
+    rad, _ = prod.render_pass(scene, pol, jnp.uint32(1), W, H)
+    got = np.stack([np.asarray(rad.x), np.asarray(rad.y), np.asarray(rad.z)], 1)
+    seeds = np.asarray(prod.pixel_seeds(W, H, pol))
+    g = np.random.default_rng(3)
+    bad = 0
+    for px in g.choice(W * H, 40, replace=False):
+        x, y = int(px % W), int(px // W)
+        want = oracle.trace_pixel_ggx(
+            scene_np, x, y, 1, int(seeds[px]), MAX_BOUNCES, W, H, cam
+        )
+        if not np.allclose(got[px], want, rtol=3e-3, atol=3e-3):
+            bad += 1
+            print(f"pixel ({x},{y}): got {got[px]}, oracle {want}")
+    assert bad <= 2, bad
