@@ -107,3 +107,23 @@ def test_cli_render_end_to_end(tmp_path):
     assert out.exists() and hdr.exists()
     back = image_io.read_hdr(hdr)
     np.testing.assert_allclose(back, 1.0, atol=0.01)
+
+
+def test_cli_scenes_and_aov(tmp_path):
+    res = subprocess.run(
+        [sys.executable, "-m", "cpu_raytracing_experiments_tpu.cli", "scenes"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert res.returncode == 0
+    assert "white_furnace" in res.stdout and "cornell" in res.stdout
+
+    res = subprocess.run(
+        [sys.executable, "-m", "cpu_raytracing_experiments_tpu.cli", "aov",
+         "--scene", "white_furnace", "--width", "24", "--height", "24",
+         "--cpu", "--out-prefix", str(tmp_path / "a")],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-1500:]
+    assert (tmp_path / "a_depth.png").exists()
+    assert (tmp_path / "a_normal.png").exists()
+    assert (tmp_path / "a_prim_id.npy").exists()

@@ -70,3 +70,19 @@ def test_mesh_shapes():
     assert mesh.shape["dp"] == len(jax.devices())
     mesh2 = sharded.make_mesh(dp=2, sp=4)
     assert mesh2.shape == {"dp": 2, "sp": 4}
+
+
+def test_pod_mesh_helpers():
+    """parallel.distributed mesh builders on the virtual 8-device pool."""
+    from cpu_raytracing_experiments_tpu.parallel import distributed
+
+    mesh = distributed.pod_mesh(sp=2)
+    assert mesh.shape == {"dp": 4, "sp": 2}
+    mesh2 = distributed.multi_slice_mesh(num_slices=4)
+    assert mesh2.shape == {"dp": 2, "sp": 4}
+    # a sharded render runs on the pod mesh
+    from cpu_raytracing_experiments_tpu.parallel import sharded as sh
+
+    r = sh.ShardedRenderer(builders.default_scene(16, 16), POL, 16, 16, mesh)
+    r.accumulate(2)
+    assert int(r.state.accumulations) == 2
