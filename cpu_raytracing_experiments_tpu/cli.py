@@ -152,8 +152,14 @@ def cmd_render(args):
             ckpt.save(args.checkpoint, r.state, policy, args.width, args.height)
 
     if args.out:
-        image_io.store(args.out, r.render(tonemap=True))
-        log.log(event="wrote", path=args.out)
+        if args.denoise:
+            from .render import denoise as denoise_mod
+
+            img = denoise_mod.denoise_render(r)
+        else:
+            img = r.render(tonemap=True)
+        image_io.store(args.out, img)
+        log.log(event="wrote", path=args.out, denoised=bool(args.denoise))
     if args.hdr_out:
         image_io.store(args.hdr_out, r.render(tonemap=False))
         log.log(event="wrote", path=args.hdr_out)
@@ -225,6 +231,8 @@ def main(argv=None):
     p.add_argument("--hdr-out", help="linear radiance output (.hdr/.npy)")
     p.add_argument("--checkpoint", help="checkpoint path (resumes if it exists)")
     p.add_argument("--checkpoint-every", type=int, default=0, help="spp between checkpoint writes")
+    p.add_argument("--denoise", action="store_true",
+                   help="AOV-guided a-trous denoise of the tonemapped output")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser("aov", help="first-bounce AOVs (depth/normal/albedo)")
