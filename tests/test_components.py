@@ -204,3 +204,14 @@ def test_rotate_camera_roundtrip():
     # rotating keeps it a valid view (renders fine)
     r = Renderer(s2, POL, 16, 16)
     r.accumulate(1)
+
+
+def test_tuned_policy():
+    from cpu_raytracing_experiments_tpu.utils.config import tuned_policy
+
+    small = tuned_policy(256, 256)
+    assert small.samples_per_pixel == 8
+    big = tuned_policy(1920, 1088)
+    assert big.samples_per_pixel == 1
+    override = tuned_policy(256, 256, max_bounces=4)
+    assert override.max_bounces == 4
