@@ -86,3 +86,21 @@ def test_pod_mesh_helpers():
     r = sh.ShardedRenderer(builders.default_scene(16, 16), POL, 16, 16, mesh)
     r.accumulate(2)
     assert int(r.state.accumulations) == 2
+
+
+def test_sharded_multi_spp_matches_single():
+    """Composition: sp/dp sharding x samples_per_pixel>1."""
+    import dataclasses
+
+    pol = dataclasses.replace(POL, samples_per_pixel=2)
+    sc = builders.default_scene(W, H)
+    mesh = sharded.make_mesh(dp=4, sp=2)
+    r = sharded.ShardedRenderer(sc, pol, W, H, mesh)
+    r.accumulate(10)
+    single = Renderer(sc, pol, W, H)
+    single.accumulate(10)
+    np.testing.assert_allclose(
+        np.asarray(r.state.buckets).sum(0),
+        np.asarray(single.state.buckets),
+        rtol=2e-5, atol=1e-5,
+    )
