@@ -36,6 +36,9 @@ def _policy_from_args(args):
         enable_dof=args.dof,
         sky_bug_compat=args.sky_bug_compat,
         russian_roulette=not args.no_rr,
+        stratify_camera=args.stratify,
+        clamp_radiance=args.clamp is not None,
+        max_radiance=args.clamp if args.clamp is not None else 1e2,
     )
 
 
@@ -96,6 +99,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--light-sampling", choices=["uniform", "power"], default="uniform",
                    help="NEE light selection: uniform (reference) or power-proportional")
     p.add_argument("--no-rr", action="store_true", help="disable Russian roulette")
+    p.add_argument("--stratify", action="store_true",
+                   help="low-discrepancy camera jitter (van der Corput + CP rotation)")
+    p.add_argument("--clamp", type=float, default=None, metavar="MAX",
+                   help="clamp per-sample radiance (firefly control)")
     p.add_argument("--average", action="store_true", help="average-of-buckets instead of median-of-means")
     p.add_argument("--dof", action="store_true", help="thin-lens depth of field")
     p.add_argument("--sky-bug-compat", action="store_true", help="reproduce the reference's throughput.r sky bug")

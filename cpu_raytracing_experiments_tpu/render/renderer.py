@@ -117,6 +117,18 @@ def generate_camera_rays(
         state = rng.hash_u32(state)
     n_draws = 4 if enable_dof else 2
     state, ds = rng.draws(state, n_draws)
+    if policy is not None and policy.stratify_camera:
+        # van der Corput in base 2 over the accumulation index (the
+        # bitreverse the reference computes but never uses,
+        # Renderer.hpp:80), golden-ratio second dimension, rotated per
+        # pixel (Cranley-Patterson) by hashed-pixel offsets.
+        vdc = rng.make_unit_float(rng.bitreverse32(accumulation))
+        gr = jnp.mod(
+            accumulation.astype(jnp.float32) * jnp.float32(0.6180339887498949), 1.0
+        )
+        ox = rng.make_unit_float(rng.hash_u32(seeds))
+        oy = rng.make_unit_float(rng.hash_u32(seeds ^ jnp.uint32(0x9E3779B9)))
+        ds = [jnp.mod(vdc + ox, 1.0), jnp.mod(gr + oy, 1.0)] + list(ds[2:])
     vx = x.astype(jnp.float32) + ds[0] - camera.half_width
     vy = y.astype(jnp.float32) + ds[1] - camera.half_height
     vz = jnp.broadcast_to(camera.z, vx.shape)
@@ -706,6 +718,12 @@ def render_pass(
             rad.x.reshape(-1)[:nrays],
             rad.y.reshape(-1)[:nrays],
             rad.z.reshape(-1)[:nrays],
+        )
+    if policy.clamp_radiance:
+        # live version of the reference's dormant max_radiance knob
+        m = jnp.float32(policy.max_radiance)
+        flat = Vec3(
+            jnp.minimum(flat.x, m), jnp.minimum(flat.y, m), jnp.minimum(flat.z, m)
         )
     if spp > 1:
         # per-pixel sum over the spp samples of this pass; the resolve

@@ -25,7 +25,11 @@ class RendererPolicy:
     samples_per_pixel: int = 1  # per accumulate pass (reference: fixed 1)
     max_material_id: int = 64
     max_bounces: int = 16
-    max_radiance: float = 1e2  # declared-but-unused in the reference too
+    max_radiance: float = 1e2  # per-sample radiance clamp ceiling. The
+    # reference declares this knob but never applies it (Renderer.hpp:25 is
+    # its only occurrence); here clamp_radiance=True makes it live.
+    clamp_radiance: bool = False  # clamp per-pass radiance to max_radiance
+    # (biased firefly control, complements the median-of-means estimator)
     accumulation_buckets: int = 5  # median-of-means buckets (Renderer.hpp:41)
 
     brdf: str = "lambertian"  # 'lambertian' | 'ggx' (#define BRDF 0|1) |
@@ -49,6 +53,11 @@ class RendererPolicy:
     sky_bug_compat: bool = False  # reproduce Renderer.hpp:416-418 (throughput.r
     # multiplies all three sky channels) for bit-compatibility testing
     russian_roulette: bool = True
+    stratify_camera: bool = False  # low-discrepancy camera jitter: van der
+    # Corput sequence over the accumulation index with per-pixel
+    # Cranley-Patterson rotation — the design the reference sketches but
+    # never lands (bitreverse(accumulations) captured unused,
+    # Renderer.hpp:80; 'sobol with cransley rotation' note, :254)
     rng_scramble: bool = False  # apply a hash_u32 avalanche pass to each RNG
     # site state. The reference's hash_2d (Random.hpp:45-50) is an LCG-style
     # hash with lattice structure over the arithmetic seed progression,

@@ -215,3 +215,37 @@ def test_tuned_policy():
     assert big.samples_per_pixel == 1
     override = tuned_policy(256, 256, max_bounces=4)
     assert override.max_bounces == 4
+
+
+def test_radiance_clamp():
+    """max_radiance becomes live with clamp_radiance (the reference declares
+    the knob and never uses it, Renderer.hpp:25)."""
+    from cpu_raytracing_experiments_tpu.render import renderer as prod
+    import jax.numpy as jnp
+
+    scene = builders.default_scene(16, 16)
+    pol = dataclasses.replace(POL, clamp_radiance=True, max_radiance=0.05)
+    rad, _ = prod.render_pass(scene, pol, jnp.uint32(1), 16, 16)
+    assert float(np.asarray(rad.x).max()) <= 0.05 + 1e-6
+    pol_off = dataclasses.replace(POL)
+    rad2, _ = prod.render_pass(scene, pol_off, jnp.uint32(1), 16, 16)
+    assert float(np.asarray(rad2.x).max()) > 0.05  # lights exceed the cap
+
+
+def test_stratified_camera_converges_faster():
+    """Stratified (van der Corput + CP rotation) camera jitter reduces
+    bucket-spread variance vs pure random jitter at equal sample counts
+    (the hero scene has jitter-sensitive radiance: curved geometry + NEE).
+    Measured ~15% reduction; assert a conservative 5%."""
+    scene = builders.default_scene(48, 48)
+    pol_r = dataclasses.replace(POL, max_bounces=4)
+    pol_s = dataclasses.replace(pol_r, stratify_camera=True)
+
+    def bucket_spread(pol):
+        r = Renderer(scene, pol, 48, 48)
+        r.accumulate(40)
+        return np.asarray(r.state.buckets).std(axis=0).mean()
+
+    spread_random = bucket_spread(pol_r)
+    spread_strat = bucket_spread(pol_s)
+    assert spread_strat < spread_random * 0.95, (spread_random, spread_strat)
