@@ -23,6 +23,19 @@ import time
 def _policy_from_args(args):
     from .utils.config import RendererPolicy
 
+    if getattr(args, "preset", None):
+        import dataclasses
+
+        from .models import presets
+
+        policy = presets.get(args.preset)
+        # explicit flags still override the preset
+        over = {}
+        if args.bounces != 8:
+            over["max_bounces"] = args.bounces
+        if args.chunk != 1 << 19:
+            over["rays_per_chunk"] = args.chunk
+        return dataclasses.replace(policy, **over) if over else policy
     return RendererPolicy(
         max_bounces=args.bounces,
         brdf="ggx" if args.ggx else "lambertian",
@@ -87,6 +100,11 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--height", type=int, default=512)
     p.add_argument("--spp", type=int, default=25)
     p.add_argument("--bounces", type=int, default=8)
+    p.add_argument("--preset", choices=["reference_compat", "reference_fixed",
+                                        "preview", "production", "ground_truth",
+                                        "large_scene"],
+                   help="named render model (models/presets.py); explicit "
+                        "--bounces/--chunk still override")
     p.add_argument("--chunk", type=int, default=1 << 19, help="rays per microbatch")
     p.add_argument("--bvh", action="store_true", help="BVH traversal (default: brute force, as the reference ships)")
     p.add_argument("--grid", action="store_true", help="uniform-grid DDA traversal")
