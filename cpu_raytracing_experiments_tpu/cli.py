@@ -114,7 +114,7 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--clusters", type=int, default=64)
     p.add_argument("--ggx", action="store_true", help="GGX closure instead of lambertian")
     p.add_argument("--no-mis", action="store_true")
-    p.add_argument("--light-sampling", choices=["uniform", "power"], default="uniform",
+    p.add_argument("--light-sampling", choices=["uniform", "power", "ris"], default="uniform",
                    help="NEE light selection: uniform (reference) or power-proportional")
     p.add_argument("--no-rr", action="store_true", help="disable Russian roulette")
     p.add_argument("--stratify", action="store_true",

@@ -304,6 +304,43 @@ def _hit_light_selection_pdf(scene, policy, state, prim_id, is_tri, light_count)
     return jnp.where(found, p, 1.0 / light_count)
 
 
+RIS_CANDIDATES = 4  # M for light_sampling='ris'
+
+
+def _select_light_ris(scene, policy, point: Vec3, site, light_count):
+    """Resampled importance sampling over lights (the reference's dormant
+    RIS/ReSTIR hook, Sampling.hpp:25-73, wired into NEE): M uniform
+    candidates re-weighted by the unshadowed-contribution estimate
+    (emission x subtended-solid-angle proxy), one reservoir survivor per
+    ray. Returns (site, selected [R] i32, W [R]) where W is the unbiased
+    contribution weight replacing 1/p_select."""
+    w_table = _light_selection_weights(scene, point)  # [R, L] p_hat per light
+    shape = point.x.shape
+    sel = jnp.full(shape, -1, jnp.int32)
+    wsum = jnp.zeros(shape, jnp.float32)
+    for _ in range(RIS_CANDIDATES):
+        site, u_cand = rng.rand_unit_float(site)
+        cand = jnp.minimum(
+            jnp.uint32(light_count - 1),
+            (u_cand * jnp.float32(light_count)).astype(jnp.uint32),
+        ).astype(jnp.int32)
+        p_hat = jnp.take_along_axis(w_table, cand[:, None], axis=1)[:, 0]
+        w = p_hat * jnp.float32(light_count)  # p_hat / p_src, p_src = 1/L
+        wsum = wsum + w
+        site, u_res = rng.rand_unit_float(site)
+        take = u_res < (w / jnp.maximum(wsum, 1e-30))
+        sel = jnp.where(take, cand, sel)
+    ok = sel >= 0
+    safe = jnp.maximum(sel, 0)
+    p_hat_sel = jnp.take_along_axis(w_table, safe[:, None], axis=1)[:, 0]
+    big_w = jnp.where(
+        ok & (p_hat_sel > 0.0),
+        wsum / (RIS_CANDIDATES * jnp.maximum(p_hat_sel, 1e-30)),
+        0.0,
+    )
+    return site, jnp.where(ok, sel, 0), big_w
+
+
 def _next_event_estimation(
     scene: Scene,
     policy: RendererPolicy,
@@ -336,10 +373,17 @@ def _next_event_estimation(
         policy,
     )
     site, (t_draw, s_draw) = rng.draws(site, 2)
-    site, sel_draw = rng.rand_unit_float(site)
-    selected, light_selection_pdf = _select_light(
-        scene, policy, p_offset, sel_draw, light_count
-    )
+    if policy.light_sampling == "ris" and light_count > 1:
+        site, selected, ris_w = _select_light_ris(
+            scene, policy, p_offset, site, light_count
+        )
+        light_selection_pdf = None  # RIS replaces 1/p_sel with ris_w
+    else:
+        site, sel_draw = rng.rand_unit_float(site)
+        selected, light_selection_pdf = _select_light(
+            scene, policy, p_offset, sel_draw, light_count
+        )
+        ris_w = None
 
     zeros = jnp.zeros_like(state.p.x)
     l_dir = Vec3(zeros, zeros, zeros)
@@ -417,9 +461,18 @@ def _next_event_estimation(
         * state.throughput
         * _closure_eval(policy, mat, l_local, v_local)
     )
-    l_pdf = l_pdf * light_selection_pdf  # (:282)
-    brdf_pdf = _closure_pdf(policy, mat, l_local, v_local)
-    shadow_radiance = shadow_radiance * sampling.power_heuristic_over_f(l_pdf, brdf_pdf)
+    if ris_w is not None:
+        # RIS estimator: f / cone_pdf * W; no MIS (NEE carries direct light
+        # alone in this mode — see _emissive_hit)
+        shadow_radiance = shadow_radiance * (
+            ris_w / jnp.maximum(l_pdf, 1e-9)
+        )
+    else:
+        l_pdf = l_pdf * light_selection_pdf  # (:282)
+        brdf_pdf = _closure_pdf(policy, mat, l_local, v_local)
+        shadow_radiance = shadow_radiance * sampling.power_heuristic_over_f(
+            l_pdf, brdf_pdf
+        )
     valid = valid & (shadow_radiance.max_component() > 0.0)  # (:285)
 
     # Shadow trace (Renderer.hpp:302-314). Masked-out lanes get tfar=0 so the
@@ -451,7 +504,13 @@ def _emissive_hit(
     n_sphere_lights = int(scene.lights.shape[0])
     n_tri_lights = 0 if scene.tri_lights is None else int(scene.tri_lights.shape[0])
     light_count = n_sphere_lights + n_tri_lights
-    if not policy.mis or light_count == 0:
+    if policy.light_sampling == "ris" and light_count > 1:
+        # NEE-only direct lighting: BRDF-sampled emission would double-count
+        # except where NEE cannot reach (camera hits, delta bounces)
+        weight = jnp.where(
+            (state.bounce == 0) | state.prev_delta, 1.0, 0.0
+        )
+    elif not policy.mis or light_count == 0:
         weight = jnp.ones_like(tfar)
     else:
         light_selection_pdf = _hit_light_selection_pdf(

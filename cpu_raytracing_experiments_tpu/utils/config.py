@@ -40,6 +40,8 @@ class RendererPolicy:
     # | 'power' — per-ray categorical selection proportional to emission x
     # solid angle, the improvement the reference marks "COSA A INVESTIGAR"
     # (Renderer.hpp:260); unbiased (exact selection pdf feeds the same MIS)
+    # | 'ris' — M-candidate resampled importance sampling (the reference's
+    # dormant ReSTIR hook, Sampling.hpp:25-73); NEE-only direct light
     use_bvh: bool = False  # #define USEBVH false (reference ships brute force)
     accel: str = "brute"  # 'brute' | 'bvh' (threaded) | 'grid' (DDA) |
     # 'clustered' (morton clusters + lax.cond-skipped dense batteries — the
@@ -84,7 +86,7 @@ class RendererPolicy:
     def __post_init__(self):
         assert self.brdf in ("lambertian", "ggx", "principled"), self.brdf
         assert self.accel in ("brute", "bvh", "grid", "clustered"), self.accel
-        assert self.light_sampling in ("uniform", "power"), self.light_sampling
+        assert self.light_sampling in ("uniform", "power", "ris"), self.light_sampling
         assert self.accumulation_buckets % 2 == 1, "median needs odd buckets"
 
 

@@ -93,3 +93,31 @@ def test_power_sampling_single_light_matches_uniform():
     np.testing.assert_array_equal(
         np.asarray(a.state.buckets), np.asarray(b.state.buckets)
     )
+
+
+def test_ris_sampling_unbiased():
+    """RIS mode (M-candidate reservoir, NEE-only direct light) converges to
+    the same image as uniform+MIS."""
+    scene = _many_light_scene()
+    pol_ris = dataclasses.replace(POL_U, light_sampling="ris")
+    a = Renderer(scene, POL_U, 32, 32)
+    a.accumulate(300)
+    b = Renderer(scene, pol_ris, 32, 32)
+    b.accumulate(300)
+    ma = np.asarray(a.state.buckets).sum(0) / 300
+    mb = np.asarray(b.state.buckets).sum(0) / 300
+    assert abs(ma.mean() - mb.mean()) < 0.05 * max(ma.mean(), 1e-6), (
+        ma.mean(), mb.mean(),
+    )
+
+
+def test_ris_reduces_variance_on_many_lights():
+    scene = _many_light_scene()
+    pol_ris = dataclasses.replace(POL_U, light_sampling="ris")
+    a = Renderer(scene, POL_U, 32, 32)
+    a.accumulate(100)
+    b = Renderer(scene, pol_ris, 32, 32)
+    b.accumulate(100)
+    var_u = np.asarray(a.state.buckets).std(axis=0).mean()
+    var_r = np.asarray(b.state.buckets).std(axis=0).mean()
+    assert var_r < var_u, (var_u, var_r)
