@@ -112,7 +112,7 @@ def main():
         "config": f"default scene {WIDTH}x{HEIGHT}, {PASSES} spp, {BOUNCES} bounces",
         "rays_per_pass": rays_per_pass,
         "Msamples_per_s": round(msamples, 3),
-        "spp_per_s_1080p": round(PASSES / dt, 3),
+        ("spp_per_s_1080p" if platform == "tpu" else "spp_per_s"): round(PASSES / dt, 3),
         "wall_s": round(dt, 3),
     }
     print(json.dumps(result))

@@ -68,9 +68,11 @@ def _pad_rays(arr, n_pad):
     return jnp.pad(arr, (0, n_pad))
 
 
-@functools.partial(jax.jit, static_argnames=())
-def intersect_spheres_pallas(p: Vec3, d: Vec3, center: Vec3, radius_sq):
-    """Closest-hit: returns (tfar [R], prim_id [R]); prim_id = -1 on miss."""
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def intersect_spheres_pallas(p: Vec3, d: Vec3, center: Vec3, radius_sq,
+                             interpret: bool = False):
+    """Closest-hit: returns (tfar [R], prim_id [R]); prim_id = -1 on miss.
+    interpret=True runs the kernel in the Pallas interpreter (CPU CI)."""
     num_rays = p.x.shape[0]
     padded = -(-num_rays // TILE_R) * TILE_R
     n_pad = padded - num_rays
@@ -91,12 +93,14 @@ def intersect_spheres_pallas(p: Vec3, d: Vec3, center: Vec3, radius_sq):
             jax.ShapeDtypeStruct((padded,), jnp.float32),
             jax.ShapeDtypeStruct((padded,), jnp.int32),
         ],
+        interpret=interpret,
     )(*ray_in, center.x, center.y, center.z, radius_sq)
     return tfar[:num_rays], prim[:num_rays]
 
 
-@functools.partial(jax.jit, static_argnames=())
-def occluded_spheres_pallas(p: Vec3, d: Vec3, tfar, center: Vec3, radius_sq):
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def occluded_spheres_pallas(p: Vec3, d: Vec3, tfar, center: Vec3, radius_sq,
+                            interpret: bool = False):
     num_rays = p.x.shape[0]
     padded = -(-num_rays // TILE_R) * TILE_R
     n_pad = padded - num_rays
@@ -115,5 +119,6 @@ def occluded_spheres_pallas(p: Vec3, d: Vec3, tfar, center: Vec3, radius_sq):
         in_specs=[ray_spec] * 6 + [ray_spec] + [prim_spec] * 4,
         out_specs=pl.BlockSpec((TILE_R,), lambda i: (i,), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((padded,), jnp.bool_),
+        interpret=interpret,
     )(*ray_in, tfar_in, center.x, center.y, center.z, radius_sq)
     return occ[:num_rays]
