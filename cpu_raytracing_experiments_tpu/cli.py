@@ -219,6 +219,23 @@ def cmd_aov(args):
     print(f"wrote {prefix}_{{depth,normal,albedo}}.png + _prim_id.npy")
 
 
+def cmd_ao(args):
+    """Ambient-occlusion render."""
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from .render import ao
+    from .utils import image as image_io
+
+    policy = _policy_from_args(args)
+    scene = _build_scene(args)
+    img = ao.render_ao(scene, policy, args.width, args.height,
+                       samples=args.ao_samples, radius=args.ao_radius)
+    image_io.store(args.out or "ao.png", img)
+    print(f"wrote {args.out or 'ao.png'}")
+
+
 def cmd_bench(args):
     import runpy
     import pathlib
@@ -264,6 +281,13 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--out-prefix", default="aov")
     p.set_defaults(fn=cmd_aov)
+
+    p = sub.add_parser("ao", help="ambient-occlusion render")
+    _add_common(p)
+    p.add_argument("--out", default="ao.png")
+    p.add_argument("--ao-samples", type=int, default=32)
+    p.add_argument("--ao-radius", type=float, default=1e3)
+    p.set_defaults(fn=cmd_ao)
 
     p = sub.add_parser("bench", help="run the standard benchmark")
     p.set_defaults(fn=cmd_bench)

@@ -80,3 +80,19 @@ def test_ris_unbiased_estimator():
     est = np.asarray(f_j[np.maximum(np.asarray(sample), 0)] * np.asarray(w))
     # E[f(x) W] = sum_x f(x) (integral over uniform counting measure)
     np.testing.assert_allclose(est.mean(), f.sum(), rtol=0.02)
+
+
+def test_ambient_occlusion():
+    from cpu_raytracing_experiments_tpu.render import ao
+
+    scene = builders.default_scene(48, 48)
+    img = ao.render_ao(scene, POL, 48, 48, samples=16, radius=2.0)
+    assert img.shape == (48, 48, 3)
+    assert img.min() >= 0.0 and img.max() <= 1.0
+    # sky pixels are fully unoccluded; crevices (between floor and small
+    # spheres) darker than open floor
+    assert img.max() == 1.0
+    assert img.min() < 0.9  # some occlusion exists in the hero scene
+    # deterministic
+    img2 = ao.render_ao(scene, POL, 48, 48, samples=16, radius=2.0)
+    np.testing.assert_array_equal(img, img2)
