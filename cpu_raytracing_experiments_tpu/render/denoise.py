@@ -86,7 +86,8 @@ def denoise_render(renderer, iterations: int = 4) -> np.ndarray:
 
     hdr = renderer.render(tonemap=False)  # [H, W, 3], already flipped
     aovs = probes.render_aovs(
-        renderer.scene, renderer.policy, renderer.width, renderer.height
+        renderer.scene, renderer.policy, renderer.width, renderer.height,
+        samples=4,  # averaged guides: smoother on AA/DoF edges
     )
     out = atrous_denoise(
         jnp.asarray(hdr),

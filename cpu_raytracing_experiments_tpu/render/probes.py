@@ -59,9 +59,13 @@ def render_aovs(
     width: int,
     height: int,
     accumulation: int = 1,
+    samples: int = 1,
 ) -> Dict[str, np.ndarray]:
-    """One-sample first-bounce AOVs: depth [H,W], normal [H,W,3],
-    albedo [H,W,3], prim_id [H,W]. Row 0 = top (standard image layout)."""
+    """First-bounce AOVs: depth [H,W], normal [H,W,3], albedo [H,W,3],
+    prim_id [H,W]. Row 0 = top. With samples > 1, depth/normal/albedo are
+    averaged over jittered camera samples (normals renormalized) — smoother
+    denoiser guides on antialiased/DoF edges; prim_id/hit come from the
+    first sample."""
     npix = width * height
     i = jnp.arange(npix, dtype=jnp.uint32)
     x = (i % jnp.uint32(width)).astype(jnp.int32)
@@ -69,13 +73,12 @@ def render_aovs(
     seeds = _renderer.pixel_seeds(width, height, policy)
 
     @jax.jit
-    def compute(scene):
+    def one(scene, acc):
         p0, d0 = _renderer.generate_camera_rays(
-            scene.camera, x, y, jnp.uint32(accumulation), seeds,
-            policy.enable_dof, policy,
+            scene.camera, x, y, acc, seeds, policy.enable_dof, policy,
         )
         tfar, prim_id, is_tri = intersect.intersect_scene(
-            scene, p0, d0, use_bvh=policy.use_bvh
+            scene, p0, d0, accel=policy.effective_accel
         )
         state = _renderer.PathState(
             bounce=jnp.int32(0), p=p0, d=d0,
@@ -96,7 +99,25 @@ def render_aovs(
             prim_id,
         )
 
-    depth, normal, albedo, prim_id = compute(scene)
+    depth, normal, albedo, prim_id = one(scene, jnp.uint32(accumulation))
+    if samples > 1:
+        hit0 = np.asarray(prim_id) >= 0
+        d_sum = np.where(np.isfinite(np.asarray(depth)), np.asarray(depth), 0.0)
+        d_cnt = np.isfinite(np.asarray(depth)).astype(np.float32)
+        n_sum = np.asarray(normal).astype(np.float64)
+        a_sum = np.asarray(albedo).astype(np.float64)
+        for k in range(1, samples):
+            dk, nk, ak, _ = one(scene, jnp.uint32(accumulation + k))
+            dk = np.asarray(dk)
+            fin = np.isfinite(dk)
+            d_sum += np.where(fin, dk, 0.0)
+            d_cnt += fin
+            n_sum += np.asarray(nk)
+            a_sum += np.asarray(ak)
+        depth = np.where(d_cnt > 0, d_sum / np.maximum(d_cnt, 1), np.inf)
+        norm = np.linalg.norm(n_sum, axis=-1, keepdims=True)
+        normal = np.where(norm > 1e-6, n_sum / np.maximum(norm, 1e-6), 0.0)
+        albedo = a_sum / samples
     flip = lambda a: np.asarray(a.reshape(height, width, *a.shape[1:]))[::-1]
     return {
         "depth": flip(depth),

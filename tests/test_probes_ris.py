@@ -96,3 +96,17 @@ def test_ambient_occlusion():
     # deterministic
     img2 = ao.render_ao(scene, POL, 48, 48, samples=16, radius=2.0)
     np.testing.assert_array_equal(img, img2)
+
+
+def test_aovs_multisample_averaging():
+    scene = builders.default_scene(32, 32)
+    a1 = probes.render_aovs(scene, POL, 32, 32, samples=1)
+    a4 = probes.render_aovs(scene, POL, 32, 32, samples=4)
+    # averaged normals stay unit where hit
+    hit = a4["prim_id"] >= 0
+    norms = np.linalg.norm(a4["normal"][hit], axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+    # averaging changes edge pixels but not interiors much
+    assert not np.allclose(a1["albedo"], a4["albedo"])
+    fin = np.isfinite(a1["depth"]) & np.isfinite(a4["depth"])
+    assert np.abs(a1["depth"][fin] - a4["depth"][fin]).mean() < 0.5
