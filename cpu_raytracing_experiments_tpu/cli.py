@@ -65,6 +65,8 @@ def _build_scene(args):
         kwargs["num_spheres"] = args.spheres
     if args.scene == "mesh" and args.subdiv:
         kwargs["subdivisions"] = args.subdiv
+    if args.scene == "brdf_test" and args.prop:
+        kwargs["prop"] = args.prop
     scene = builders.SCENES[args.scene](args.width, args.height, **kwargs)
     if args.hdri or args.sky:
         import dataclasses
@@ -128,6 +130,7 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--sky", choices=["clear", "studio"], help="procedural sky model")
     p.add_argument("--spheres", type=int, help="sphere count for bvh_test/random_spheres scenes")
     p.add_argument("--subdiv", type=int, help="icosphere subdivisions for the mesh scene")
+    p.add_argument("--prop", help="brdf_test property sweep (roughness, roughness_glass, ...)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--metrics", help="JSONL metrics output path")
     p.add_argument("--quiet", action="store_true")

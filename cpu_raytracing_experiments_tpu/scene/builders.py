@@ -163,19 +163,61 @@ def bvh_test_scene(
     return b.build(cam, Sky.constant((1.0, 1.0, 1.0)))
 
 
-def brdf_test_scene(width: int = 512, height: int = 512, gradations: int = 10) -> Scene:
-    """Roughness-gradation lineup (Application.cpp:123-217, Properties::
-    Roughness case): 10 spheres of t-varying roughness over a giant floor
-    sphere with an area light."""
+BRDF_TEST_PROPERTIES = (
+    "roughness", "roughness_diffuse", "ior_reflection", "ior_refraction",
+    "roughness_glass", "absorption", "absorption_roughness",
+    "refraction_to_diffuse",
+)
+
+
+def brdf_test_scene(
+    width: int = 512, height: int = 512, gradations: int = 10,
+    prop: str = "roughness",
+) -> Scene:
+    """Parameter-gradation lineup (Application.cpp:123-217): 10 spheres
+    sweeping one material property over a giant floor sphere with an area
+    light. The reference enumerates eight Properties cases but hard-codes
+    Roughness (its switch selects a constant, :159) and its GGX/transmission
+    shading never compiled; all eight render here (use brdf='principled'
+    for the glass/absorption cases). Material values per case are the
+    reference's verbatim (:161-215)."""
+    assert prop in BRDF_TEST_PROPERTIES, prop
     b = _SceneBuilder()
     floor = b.material(albedo=(0.1, 0.1, 0.1), roughness=1.0)
     b.sphere((0.0, -1001.0, 0.0), 1000.0, floor)
     light = b.material(emission=(100.0, 100.0, 100.0))
     b.sphere((0.0, 10.0, 0.0), np.sqrt(5.0), light)  # radius_sq = 5.0 in ref
+    lerp = lambda a, c, t: tuple((1 - t) * np.asarray(a) + t * np.asarray(c))
     for i in range(gradations):
         t = i / (gradations - 1)
+        if prop == "roughness":
+            m = b.material(f0=(1, 1, 1), f80=(1, 1, 1), albedo=(0, 0, 0), roughness=t)
+        elif prop == "roughness_diffuse":
+            m = b.material(f0=(0.04,) * 3, f80=(0.5,) * 3,
+                           albedo=(0.75, 0.25, 0.25), roughness=t)
+        elif prop == "ior_reflection":
+            m = b.material(f0=(0.04,) * 3, f80=(0.5,) * 3,
+                           albedo=(0.7, 0.5, 0.3), ior_minus_one=t)
+        elif prop == "ior_refraction":
+            m = b.material(f0=(0.04,) * 3, f80=(0.5,) * 3,
+                           transmission=(0.95,) * 3, ior_minus_one=t * 0.5)
+        elif prop == "roughness_glass":
+            m = b.material(f0=(0.04,) * 3, f80=(0.5,) * 3,
+                           transmission=(0.95,) * 3, ior_minus_one=0.1,
+                           roughness=t)
+        elif prop == "absorption":
+            m = b.material(f0=(0.04,) * 3, f80=(0.5,) * 3,
+                           transmission=lerp((0.95,) * 3, (0, 0.95, 0.95), t),
+                           ior_minus_one=0.1)
+        elif prop == "absorption_roughness":
+            m = b.material(f0=(0.04,) * 3, f80=(0.5,) * 3,
+                           transmission=(0.0, 0.95, 0.95), ior_minus_one=0.1,
+                           roughness=t)
+        else:  # refraction_to_diffuse
+            m = b.material(f0=(0.04,) * 3, f80=(0.5,) * 3,
+                           albedo=lerp((0, 0, 0), (0, 0.95, 0.95), t),
+                           transmission=lerp((0.95,) * 3, (0, 0, 0), t))
         x = (i * 2 - gradations) * 1.25 + 1.0
-        m = b.material(f0=(1, 1, 1), f80=(1, 1, 1), albedo=(0, 0, 0), roughness=t)
         b.sphere((x, i * 0.1, 0.0), 1.0, m)
     cam = Camera.create(
         eye=(0, 0, gradations * 2.8), forward=(0, 0, -1), width=width, height=height

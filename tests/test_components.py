@@ -249,3 +249,14 @@ def test_stratified_camera_converges_faster():
     spread_random = bucket_spread(pol_r)
     spread_strat = bucket_spread(pol_s)
     assert spread_strat < spread_random * 0.95, (spread_random, spread_strat)
+
+
+def test_brdf_test_all_properties():
+    """All eight Properties sweeps of the reference's BRDF_test enum
+    (Application.cpp:148-157 — only Roughness compiles there) render
+    finitely with the principled BSDF."""
+    pol = dataclasses.replace(POL, brdf="principled", rays_per_chunk=1024, max_bounces=5)
+    for prop in builders.BRDF_TEST_PROPERTIES:
+        scene = builders.brdf_test_scene(24, 24, prop=prop)
+        img = Renderer(scene, pol, 24, 24).render_spp(5, tonemap=False)
+        assert np.isfinite(img).all() and (img >= 0).all(), prop
