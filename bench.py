@@ -31,26 +31,25 @@ class _Timeout(Exception):
 
 
 def _probe_tpu(seconds=120):
-    """Device init + a tiny jit roundtrip, bounded by SIGALRM — the axon
-    tunnel sometimes hangs (rather than erroring) when it is down."""
-    import signal
+    """Device init + a tiny jit roundtrip, in a SUBPROCESS with a hard
+    timeout: the axon tunnel sometimes hangs inside blocking C calls where
+    in-process SIGALRM cannot interrupt. Raises on an unhealthy TPU."""
+    import subprocess
 
+    code = (
+        "import jax, numpy as np;"
+        "out = jax.jit(lambda x: x * 2)(np.ones(4, np.float32));"
+        "print(float(np.asarray(out)[0]))"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        timeout=seconds,
+    )
+    if res.returncode != 0 or "2.0" not in res.stdout:
+        raise _Timeout(res.stderr[-200:])
     import jax
 
-    def _raise(signum, frame):
-        raise _Timeout()
-
-    old = signal.signal(signal.SIGALRM, _raise)
-    signal.alarm(seconds)
-    try:
-        devices = jax.devices()
-        out = jax.jit(lambda x: x * 2)(jax.numpy.ones((8,)))
-        out.block_until_ready()
-        float(out[0])
-        return devices
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
+    return jax.devices()
 
 
 def main():
@@ -60,7 +59,7 @@ def main():
     platform = "tpu"
     try:
         devices = _probe_tpu()
-    except (Exception, _Timeout) as e:  # tunnel down -> record a CPU number
+    except Exception as e:  # tunnel down/hung -> record a CPU number
         print(f"[bench] TPU unavailable ({type(e).__name__}), CPU fallback", file=sys.stderr)
         jax.config.update("jax_platforms", "cpu")
         platform = "cpu-fallback"
