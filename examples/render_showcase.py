@@ -56,6 +56,9 @@ def main():
                        RendererPolicy(max_bounces=6), 512, 200, False),
         "mesh_82k": (lambda: mesh_scene_framed(320, 320),
                      RendererPolicy(max_bounces=5, rays_per_chunk=65536), 320, 60, False),
+        "glass_roughness_sweep": (
+            lambda: builders.brdf_test_scene(640, 320, prop="roughness_glass"),
+            RendererPolicy(max_bounces=12, brdf="principled"), None, 400, False),
     }
 
     for name, (mk, pol, _, spp, use_denoise) in jobs.items():
@@ -77,6 +80,18 @@ def main():
         img = denoise.denoise_render(r) if use_denoise else r.render(tonemap=True)
         image.write_png(out_dir / f"{name}.png", img)
         print(f"{name}: {spp} spp in {time.time() - t0:.1f}s", flush=True)
+
+    if not args.only or args.only == "denoise_10spp":
+        import numpy as np
+
+        scene = builders.default_scene(512, 512)
+        r = Renderer(scene, RendererPolicy(max_bounces=8), 512, 512)
+        r.accumulate(10)
+        side = np.concatenate(
+            [r.render(tonemap=True), denoise.denoise_render(r)], axis=1
+        )
+        image.write_png(out_dir / "denoise_10spp.png", side)
+        print("denoise_10spp: saved", flush=True)
 
 
 if __name__ == "__main__":
