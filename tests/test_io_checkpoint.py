@@ -127,3 +127,100 @@ def test_cli_scenes_and_aov(tmp_path):
     assert (tmp_path / "a_depth.png").exists()
     assert (tmp_path / "a_normal.png").exists()
     assert (tmp_path / "a_prim_id.npy").exists()
+
+
+def test_hdr_rle_decode():
+    """Hand-craft a new-style RLE .hdr scanline and decode it (the writer
+    emits flat scanlines, so this exercises the reader's RLE branch that
+    external HDRIs use)."""
+    h, w = 2, 8
+    rgb = np.zeros((h, w, 3), np.float32)
+    rgb[0, :, 0] = 1.0          # constant red row -> run-length encodes
+    rgb[1, :, 1] = np.arange(w) / 8.0 + 0.25   # varying green row -> literals
+    rgbe = image_io._rgbe_encode_np(rgb)
+
+    def rle_scanline(row):  # row: [w, 4]
+        out = bytearray([2, 2, w >> 8, w & 0xFF])
+        for c in range(4):
+            vals = row[:, c]
+            # encode runs >= 2, else literals (simple encoder)
+            i = 0
+            while i < len(vals):
+                run = 1
+                while i + run < len(vals) and vals[i + run] == vals[i] and run < 127:
+                    run += 1
+                if run >= 2:
+                    out += bytes([128 + run, int(vals[i])])
+                    i += run
+                else:
+                    j = i + 1
+                    while (
+                        j < len(vals)
+                        and (j + 1 >= len(vals) or vals[j + 1] != vals[j])
+                        and j - i < 128
+                    ):
+                        j += 1
+                    out += bytes([j - i]) + bytes(int(v) for v in vals[i:j])
+                    i = j
+        return bytes(out)
+
+    payload = b"".join(rle_scanline(rgbe[y]) for y in range(h))
+    data = (
+        b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n"
+        + f"-Y {h} +X {w}\n".encode()
+        + payload
+    )
+    import tempfile, os
+
+    with tempfile.NamedTemporaryFile(suffix=".hdr", delete=False) as f:
+        f.write(data)
+        path = f.name
+    try:
+        back = image_io.read_hdr(path)
+    finally:
+        os.unlink(path)
+    bound = rgb.max(axis=-1, keepdims=True) / 256 + 1e-6
+    assert (np.abs(back - rgb) <= bound * 1.01 + 1e-6).all()
+
+
+def test_numpy_bvh_builder_fallback():
+    """The pure-numpy binned-SAH fallback builds a correct tree (used when
+    the native lib is unavailable)."""
+    import jax.numpy as jnp
+
+    from cpu_raytracing_experiments_tpu.bvh import builder as bvh_builder
+    from cpu_raytracing_experiments_tpu.bvh import traverse
+    from cpu_raytracing_experiments_tpu.core.vec import Vec3
+    from cpu_raytracing_experiments_tpu.ops import intersect
+
+    g = np.random.default_rng(21)
+    m = 150
+    c = g.uniform(-30, 30, (m, 3)).astype(np.float32)
+    r = g.uniform(0.3, 3.0, m).astype(np.float32)
+    node_min, node_max, first, count, order = bvh_builder._build_numpy(
+        c - r[:, None], c + r[:, None], leaf_size=4
+    )
+    miss = bvh_builder.compute_miss_links(first, count)
+    arrays = bvh_builder.BVHArrays(
+        node_min=Vec3(*[jnp.asarray(node_min[:, k]) for k in range(3)]),
+        node_max=Vec3(*[jnp.asarray(node_max[:, k]) for k in range(3)]),
+        first=jnp.asarray(first.astype(np.int32)),
+        count=jnp.asarray(count.astype(np.int32)),
+        miss=jnp.asarray(miss),
+        max_leaf=max(int(count.max()), 1),
+    )
+    c2, r2 = c[order], r[order]
+    center = Vec3(*[jnp.asarray(c2[:, k]) for k in range(3)])
+    rsq = jnp.asarray(r2 * r2)
+    n = 300
+    p = Vec3(*[jnp.asarray(g.uniform(-50, 50, n).astype(np.float32)) for _ in range(3)])
+    dn = g.normal(size=(n, 3)).astype(np.float32)
+    dn /= np.linalg.norm(dn, axis=1, keepdims=True)
+    d = Vec3(*[jnp.asarray(dn[:, k]) for k in range(3)])
+    bt, bid = intersect.intersect_spheres(p, d, center, rsq)
+    tt, tid = traverse.traverse_closest_packed(
+        arrays, p, d, traverse.pack_spheres(center, rsq), traverse.sphere_row_test
+    )
+    np.testing.assert_array_equal(np.asarray(tid) >= 0, np.asarray(bid) >= 0)
+    hit = np.asarray(bid) >= 0
+    np.testing.assert_allclose(np.asarray(tt)[hit], np.asarray(bt)[hit], rtol=1e-4)
