@@ -39,3 +39,17 @@ def test_jsonl_logging(tmp_path):
     assert lines[0]["Mrays_per_s"] == 0.2
     assert lines[0]["Msamples_per_s"] == round(64 * 64 / 0.5 / 1e6, 3)
     assert lines[1] == {"event": "done", "foo": 1}
+
+
+def test_stage_shares_smoke():
+    """Profiling ablation utility runs and returns sane components."""
+    from cpu_raytracing_experiments_tpu.scene import builders
+    from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+    from cpu_raytracing_experiments_tpu.utils.profiling import stage_shares
+
+    scene = builders.default_scene(16, 16)
+    pol = RendererPolicy(max_bounces=3, rays_per_chunk=256)
+    shares = stage_shares(scene, pol, 16, 16, repeats=2)
+    assert shares["full_s"] > 0
+    assert 0 <= shares["nee_shadow_s"] <= shares["full_s"]
+    assert shares["first_bounce_s"] <= shares["full_s"] * 1.5
