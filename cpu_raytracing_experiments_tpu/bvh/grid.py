@@ -197,19 +197,50 @@ def traverse_grid_closest(
     state = jax.lax.while_loop(cond, body, state)
     tfar, prim_id = state[-2], state[-1]
 
-    # residual (overflow/giant) prims: brute-force rows
+    # residual (overflow/giant) prims: vectorized chunked battery over the
+    # residual rows (NOT a per-prim loop — meshes can overflow thousands of
+    # prims when cells saturate)
     nres = int(grid.residual.shape[0])
     if nres > 0:
-        for start_i in range(0, nres, 512):
-            ids = grid.residual[start_i : start_i + 512]
-            for k in range(ids.shape[0]):
-                prim = ids[k]
-                rows = leaf_rows[prim][None, :].repeat(num_rays, axis=0)
-                t, ok = leaf_row_test(rows, p, d)
-                closer = ok & (t < tfar)
-                tfar = jnp.where(closer, t, tfar)
-                prim_id = jnp.where(closer, prim, prim_id)
+        res_rows = leaf_rows[grid.residual]
+        t_res, idx_res = _battery_closest(res_rows, p, d, leaf_row_test)
+        closer = (idx_res >= 0) & (t_res < tfar)
+        tfar = jnp.where(closer, t_res, tfar)
+        prim_id = jnp.where(
+            closer, grid.residual[jnp.maximum(idx_res, 0)], prim_id
+        )
     return tfar, prim_id
+
+
+def _battery_closest(rows: jnp.ndarray, p: Vec3, d: Vec3, leaf_row_test,
+                     prim_chunk: int = 512):
+    """Dense closest-hit battery over packed prim rows [K, F]: returns
+    (t [R], local index [R] or -1). Uses the same candidate formulas as
+    ops/intersect via the row layout (sphere F=4, triangle F=9)."""
+    from ..ops import intersect as _i
+
+    num_rays = p.x.shape[0]
+    k = rows.shape[0]
+    best_t = jnp.full((num_rays,), FLT_MAX)
+    best_i = jnp.full((num_rays,), -1, jnp.int32)
+    for start in range(0, k, prim_chunk):
+        end = min(start + prim_chunk, k)
+        sl = rows[start:end]
+        if rows.shape[1] == 4:  # spheres
+            t = _i._sphere_candidates(p, d, sl[:, 0], sl[:, 1], sl[:, 2], sl[:, 3])
+        else:  # triangles
+            t = _i._triangle_candidates(
+                p, d,
+                Vec3(sl[:, 0], sl[:, 1], sl[:, 2]),
+                Vec3(sl[:, 3], sl[:, 4], sl[:, 5]),
+                Vec3(sl[:, 6], sl[:, 7], sl[:, 8]),
+            )
+        cb = jnp.min(t, axis=1)
+        ca = jnp.argmin(t, axis=1).astype(jnp.int32) + start
+        closer = cb < best_t
+        best_t = jnp.where(closer, cb, best_t)
+        best_i = jnp.where(closer, ca, best_i)
+    return best_t, jnp.where(best_t < FLT_MAX, best_i, -1)
 
 
 def traverse_grid_shadow(
@@ -225,14 +256,11 @@ def traverse_grid_shadow(
     res = grid.res
     occluded = jnp.zeros((num_rays,), bool)
 
-    # residual prims first (cheap early kill)
+    # residual prims first (vectorized; cheap early kill)
     nres = int(grid.residual.shape[0])
     if nres > 0:
-        for k in range(nres):
-            prim = grid.residual[k]
-            rows = jnp.broadcast_to(leaf_rows[prim], (num_rays, leaf_rows.shape[1]))
-            t, ok = leaf_row_test(rows, p, d)
-            occluded = occluded | (ok & (t < tfar) & (t >= 0.0))
+        t_res, idx_res = _battery_closest(leaf_rows[grid.residual], p, d, leaf_row_test)
+        occluded = occluded | ((idx_res >= 0) & (t_res < tfar) & (t_res >= 0.0))
 
     ox, oy, oz = grid.origin[0], grid.origin[1], grid.origin[2]
     inv = grid.inv_cell
