@@ -260,3 +260,24 @@ def test_brdf_test_all_properties():
         scene = builders.brdf_test_scene(24, 24, prop=prop)
         img = Renderer(scene, pol, 24, 24).render_spp(5, tonemap=False)
         assert np.isfinite(img).all() and (img >= 0).all(), prop
+
+
+def test_obj_loader(tmp_path):
+    """Minimal OBJ loading incl. quad triangulation."""
+    from cpu_raytracing_experiments_tpu.scene import meshes
+
+    obj = tmp_path / "t.obj"
+    obj.write_text(
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "f 1 2 3\n"          # triangle
+        "f 1/1 2/2 3/3 4/4\n"  # quad with uv indices -> two tris
+    )
+    verts, faces = meshes.load_obj(obj)
+    assert verts.shape == (4, 3)
+    assert faces.shape == (3, 3)  # 1 + 2 triangles
+    np.testing.assert_array_equal(faces[0], [0, 1, 2])
+    np.testing.assert_array_equal(faces[1], [0, 1, 2])
+    np.testing.assert_array_equal(faces[2], [0, 2, 3])
+    # loads into a renderable scene
+    tris = meshes.mesh_to_triangles(verts, faces, 0)
+    assert tris["v0"].shape == (3, 3)
