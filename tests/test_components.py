@@ -281,3 +281,31 @@ def test_obj_loader(tmp_path):
     # loads into a renderable scene
     tris = meshes.mesh_to_triangles(verts, faces, 0)
     assert tris["v0"].shape == (3, 3)
+
+
+def test_renderer_resize():
+    """Renderer::Resize semantics (Renderer.hpp:53-63): new dims, camera
+    projection rescaled, accumulator reset."""
+    scene = builders.default_scene(32, 32)
+    r = Renderer(scene, POL, 32, 32)
+    r.accumulate(5)
+    r.resize(48, 24)
+    assert int(r.state.accumulations) == 0
+    assert r.state.buckets.shape[-1] == 48 * 24
+    assert float(r.scene.camera.half_width) == 24.0
+    assert float(r.scene.camera.half_height) == 12.0
+    r.accumulate(5)
+    img = r.render(tonemap=False)
+    assert img.shape == (24, 48, 3)
+    assert np.isfinite(img).all()
+
+
+def test_set_camera_fields():
+    scene = builders.default_scene(16, 16)
+    s2, flags = edit.set_camera(
+        scene, pos=(1.0, 2.0, 3.0), exposure=2.0, focus_distance=4.0
+    )
+    assert flags == edit.SceneUpdate.CAMERA
+    assert float(s2.camera.pos.y) == 2.0
+    assert float(s2.camera.exposure) == 2.0
+    assert float(s2.camera.focus_distance) == 4.0
