@@ -66,3 +66,34 @@ def test_hdri_sky_render_roundtrip(tmp_path):
     assert np.isfinite(out).all()
     # blue-ish sky should dominate: b channel > r channel on average
     assert out[..., 2].mean() > out[..., 0].mean()
+
+
+def test_sky_ambient_tint():
+    """ambient multiplies the HDRI fetch (Primitives.hpp:41-45)."""
+    img = np.full((4, 8, 3), 2.0, np.float32)
+    sky = Sky.from_image(img, ambient=(0.5, 1.0, 0.25))
+    from cpu_raytracing_experiments_tpu.core.vec import Vec3
+
+    d = Vec3(jnp.asarray([0.0]), jnp.asarray([0.0]), jnp.asarray([1.0]))
+    out = sky.sample(d)
+    assert abs(float(out.x[0]) - 1.0) < 1e-6
+    assert abs(float(out.y[0]) - 2.0) < 1e-6
+    assert abs(float(out.z[0]) - 0.5) < 1e-6
+
+
+def test_sky_wrap_seam():
+    """Directions just either side of the -X seam fetch adjacent columns,
+    not opposite ends of the map (no wrap crack)."""
+    w, h = 32, 16
+    img = np.zeros((h, w, 3), np.float32)
+    img[:, :, 0] = np.arange(w)[None, :]  # column index in red
+    sky = Sky.from_image(img)
+    from cpu_raytracing_experiments_tpu.core.vec import Vec3
+
+    eps = 1e-3
+    d1 = Vec3(jnp.asarray([-1.0]), jnp.asarray([0.0]), jnp.asarray([eps]))
+    d2 = Vec3(jnp.asarray([-1.0]), jnp.asarray([0.0]), jnp.asarray([-eps]))
+    c1 = float(sky.sample(d1).x[0])
+    c2 = float(sky.sample(d2).x[0])
+    # atan2 jumps from +pi to -pi across the seam: columns at the two ends
+    assert {c1, c2} <= {0.0, float(w - 1), float(w - 2), 1.0}
