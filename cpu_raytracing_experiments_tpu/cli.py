@@ -38,7 +38,7 @@ def _policy_from_args(args):
         return dataclasses.replace(policy, **over) if over else policy
     return RendererPolicy(
         max_bounces=args.bounces,
-        brdf="ggx" if args.ggx else "lambertian",
+        brdf=args.brdf if args.brdf else ("ggx" if args.ggx else "lambertian"),
         mis=not args.no_mis,
         light_sampling=args.light_sampling,
         use_bvh=args.bvh,
@@ -115,6 +115,8 @@ def _add_common(p: argparse.ArgumentParser):
                    help="morton-clustered culled batteries (large scenes)")
     p.add_argument("--clusters", type=int, default=64)
     p.add_argument("--ggx", action="store_true", help="GGX closure instead of lambertian")
+    p.add_argument("--brdf", choices=["lambertian", "ggx", "principled"],
+                   help="closure model (overrides --ggx)")
     p.add_argument("--no-mis", action="store_true")
     p.add_argument("--light-sampling", choices=["uniform", "power", "ris"], default="uniform",
                    help="NEE light selection: uniform (reference) or power-proportional")
