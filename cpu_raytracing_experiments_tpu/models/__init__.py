@@ -1,0 +1,1 @@
+from . import presets  # noqa: F401

@@ -1,0 +1,1 @@
+from .api import Renderer, render_image  # noqa: F401

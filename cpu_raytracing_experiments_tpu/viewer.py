@@ -33,6 +33,7 @@ body { background:#111; color:#ccc; font-family:monospace; text-align:center }
 img { image-rendering:pixelated; margin-top:1em; max-width:95vw }
 </style></head><body>
 <div id="stats">...</div>
+<canvas id="plot" width="320" height="48" style="display:block;margin:0.5em auto;background:#181818"></canvas>
 <img id="frame" src="/frame.png">
 <script>
 async function tick() {
@@ -42,6 +43,13 @@ async function tick() {
   document.getElementById('stats').textContent =
     `${s.width}x${s.height}  ${s.spp} spp  ${s.ms_per_pass.toFixed(1)} ms/pass  ` +
     `${s.msamples_per_s.toFixed(1)} Msamples/s`;
+  const c = document.getElementById('plot').getContext('2d');
+  const h = s.history_ms, peak = Math.max(...h, 1e-3);
+  c.clearRect(0, 0, 320, 48);
+  c.strokeStyle = '#6cf'; c.beginPath();
+  h.forEach((v, i) => { const x = i * 5, y = 48 - 46 * v / peak;
+    i ? c.lineTo(x, y) : c.moveTo(x, y); });
+  c.stroke();
 }
 setInterval(tick, 1000);
 </script></body></html>"""
@@ -52,7 +60,9 @@ def serve(scene, policy, width: int, height: int, port: int = 8000):
 
     renderer = Renderer(scene, policy, width, height)
     lock = threading.Lock()
-    stats = {"ms_per_pass": 0.0, "spp": 0}
+    # 64-sample frame-time history, like the reference HUD's CyclicBuffer
+    # plot (Application.cpp:391-404)
+    stats = {"ms_per_pass": 0.0, "spp": 0, "history": [0.0] * 64}
     stop = threading.Event()
 
     def worker():
@@ -66,6 +76,7 @@ def serve(scene, policy, width: int, height: int, port: int = 8000):
             dt = time.perf_counter() - t0
             stats["ms_per_pass"] = dt * 1e3 / policy.accumulation_buckets
             stats["spp"] = int(renderer.state.accumulations)
+            stats["history"] = stats["history"][1:] + [stats["ms_per_pass"]]
 
     thread = threading.Thread(target=worker, daemon=True)
     thread.start()
@@ -105,6 +116,7 @@ def serve(scene, policy, width: int, height: int, port: int = 8000):
                         "msamples_per_s": (width * height / (ms * 1e-3) / 1e6)
                         if ms > 0
                         else 0.0,
+                        "history_ms": [round(v, 2) for v in stats["history"]],
                     }
                 ).encode()
                 self._send(200, "application/json", body)
