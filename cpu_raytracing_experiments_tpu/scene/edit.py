@@ -236,3 +236,36 @@ def translate_camera_local(scene: Scene, local):
     ) + world
     cam = dataclasses.replace(scene.camera, pos=Vec3.splat(pos))
     return dataclasses.replace(scene, camera=cam), SceneUpdate.CAMERA
+
+
+def set_camera_lens(
+    scene: Scene,
+    width: int,
+    height: int,
+    focal_length: float = None,
+    f_number: float = None,
+    focus_distance: float = None,
+    exposure: float = None,
+):
+    """Lens-parameter edits with UpdateLens recompute (Camera.hpp:21-26 +
+    the ImGui camera sliders, Application.cpp:413-417): focal length and
+    f-number re-derive the projection z and the aperture radius."""
+    from .scene import Camera
+
+    cam = scene.camera
+    updates = {}
+    cur_focal = float(-Camera.SENSOR_SIZE_MM / 2.0 * (cam.z / cam.half_height))
+    focal = focal_length if focal_length is not None else cur_focal
+    if focal_length is not None:
+        inv_half_tan = (-2.0 / Camera.SENSOR_SIZE_MM) * focal
+        updates["z"] = jnp.float32(height * 0.5 * inv_half_tan)
+    if f_number is not None:
+        updates["aperture_radius"] = jnp.float32(focal / (2.0 * f_number) * 1e-3)
+    if focus_distance is not None:
+        updates["focus_distance"] = jnp.float32(focus_distance)
+    if exposure is not None:
+        updates["exposure"] = jnp.float32(exposure)
+    return (
+        dataclasses.replace(scene, camera=dataclasses.replace(cam, **updates)),
+        SceneUpdate.CAMERA,
+    )

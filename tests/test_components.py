@@ -309,3 +309,18 @@ def test_set_camera_fields():
     assert float(s2.camera.pos.y) == 2.0
     assert float(s2.camera.exposure) == 2.0
     assert float(s2.camera.focus_distance) == 4.0
+
+
+def test_set_camera_lens():
+    """UpdateLens semantics: focal length rescales projection z; f-number
+    sets the aperture radius from the (new) focal length."""
+    scene = builders.default_scene(32, 32)  # focal 40mm
+    z0 = float(scene.camera.z)
+    s2, flags = edit.set_camera_lens(scene, 32, 32, focal_length=80.0)
+    assert flags == edit.SceneUpdate.CAMERA
+    assert abs(float(s2.camera.z) / z0 - 2.0) < 1e-5  # doubled focal -> 2x z
+    s3, _ = edit.set_camera_lens(scene, 32, 32, focal_length=50.0, f_number=2.0)
+    assert abs(float(s3.camera.aperture_radius) - 50.0 / 4.0 * 1e-3) < 1e-8
+    s4, _ = edit.set_camera_lens(scene, 32, 32, exposure=3.0, focus_distance=2.5)
+    assert float(s4.camera.exposure) == 3.0
+    assert float(s4.camera.focus_distance) == 2.5
