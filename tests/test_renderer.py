@@ -179,3 +179,16 @@ def test_median_suppresses_fireflies():
     )
     img2 = r2.render(tonemap=False)
     assert img2.max() > 1e4  # average-of-buckets lets it through
+
+
+def test_nonstandard_bucket_count():
+    """accumulation_buckets != 5 uses the generic median path
+    (Renderer.hpp requires exactly 5; we generalize to any odd count)."""
+    import dataclasses
+
+    scene = builders.white_furnace_scene(16, 16)
+    pol = dataclasses.replace(POL, accumulation_buckets=3)
+    r = Renderer(scene, pol, 16, 16)
+    img = r.render_spp(6, tonemap=False)  # 6 = 2 rounds of 3 buckets
+    assert r.state.buckets.shape[0] == 3
+    np.testing.assert_allclose(img, 1.0, atol=1e-5)
