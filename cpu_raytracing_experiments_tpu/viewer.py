@@ -55,7 +55,13 @@ setInterval(tick, 1000);
 </script></body></html>"""
 
 
-def serve(scene, policy, width: int, height: int, port: int = 8000):
+def make_server(scene, policy, width: int, height: int, port: int = 8000):
+    """Build the viewer server without blocking.
+
+    Returns (server, renderer, stop_event, worker_thread); the caller runs
+    server.serve_forever() (see serve()) or drives it from a test. Pass
+    port=0 for an ephemeral port (server.server_address[1] reports it).
+    """
     from .render.api import Renderer
 
     renderer = Renderer(scene, policy, width, height)
@@ -174,6 +180,11 @@ def serve(scene, policy, width: int, height: int, port: int = 8000):
                 self._send(404, "text/plain", b"not found")
 
     server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    return server, renderer, stop, thread
+
+
+def serve(scene, policy, width: int, height: int, port: int = 8000):
+    server, _, stop, _ = make_server(scene, policy, width, height, port)
     print(f"live viewer on http://localhost:{port}  (ctrl-c to stop)")
     try:
         server.serve_forever()

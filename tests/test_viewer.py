@@ -1,0 +1,84 @@
+"""HTTP live-viewer endpoint tests (viewer.py replaces the reference's
+GLFW/ImGui shell, App.cpp / Application.cpp:361-421)."""
+import json
+import threading
+import time
+import urllib.error
+import urllib.request
+
+import pytest
+
+from cpu_raytracing_experiments_tpu import viewer
+from cpu_raytracing_experiments_tpu.scene import builders
+from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+
+
+@pytest.fixture(scope="module")
+def live():
+    scene = builders.white_furnace_scene(16, 16)
+    pol = RendererPolicy(max_bounces=3, rays_per_chunk=1024)
+    server, renderer, stop, _ = viewer.make_server(scene, pol, 16, 16, port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{server.server_address[1]}"
+    yield base, renderer
+    stop.set()
+    server.shutdown()
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url, timeout=30) as r:
+            return r.status, r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.read()
+
+
+def test_index_and_stats(live):
+    base, _ = live
+    code, body = _get(base + "/")
+    assert code == 200 and b"<html" in body.lower()
+    # wait for the background worker to complete at least one pass
+    deadline = time.time() + 60
+    spp = 0
+    while time.time() < deadline:
+        code, body = _get(base + "/stats")
+        assert code == 200
+        s = json.loads(body)
+        spp = s["spp"]
+        if spp > 0:
+            break
+        time.sleep(0.2)
+    assert spp > 0
+    assert s["width"] == 16 and s["height"] == 16
+    assert s["ms_per_pass"] > 0 and s["msamples_per_s"] > 0
+    assert len(s["history_ms"]) == 64  # reference HUD's 64-slot CyclicBuffer
+
+
+def test_frame_png(live):
+    base, _ = live
+    code, body = _get(base + "/frame.png")
+    assert code == 200
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_edit_and_camera(live):
+    base, renderer = live
+    code, body = _get(base + "/edit?material=0&albedo=0.5,0.5,0.5")
+    assert (code, body) == (200, b"ok")
+    # edit committed: material 0 albedo now 0.5 and accumulator reset
+    import numpy as np
+
+    assert np.isclose(float(renderer.scene.materials.albedo.x[0]), 0.5)
+    code, body = _get(base + "/camera?translate=0,0,-0.25")
+    assert (code, body) == (200, b"ok")
+    code, body = _get(base + "/reset")
+    assert (code, body) == (200, b"ok")
+
+
+def test_bad_requests(live):
+    base, _ = live
+    code, body = _get(base + "/edit?material=0&albedo=not,a,vec")
+    assert code == 400 and body.startswith(b"error:")
+    code, _ = _get(base + "/nonexistent")
+    assert code == 404
