@@ -162,6 +162,33 @@ def sample_direction_to_sphere(wc: Vec3, sin_theta_max2, center_dist, radius_sq,
     return l, distance, pdf
 
 
+def sample_direction_within_sphere(rel_center: Vec3, radius_sq, t, s):
+    """Area-sample the sphere surface and convert to a solid-angle pdf —
+    the reference's alternate (unused-in-render-loop) sphere-light sampler
+    (Sampling.hpp:202-217).
+
+    rel_center: light center minus shading point. Picks a uniform point on
+    the surface (nudged just outside by the shadow epsilon), forms the
+    direction L toward it, and converts the uniform area pdf 1/(4*pi*r^2)
+    to solid-angle measure via dist^2 / |cos|. Because the whole surface is
+    sampled (back faces included), each direction in the visible cone is
+    covered twice: E[1/pdf] = 2 * subtended solid angle, and half the
+    samples land on the far hemisphere — which is why the render loop uses
+    the cone sampler (sample_direction_to_sphere) instead.
+    Returns (L, distance, pdf).
+    """
+    n = uniform_sphere(t, s)
+    radius = jnp.sqrt(radius_sq)
+    to_p = rel_center + n * (radius + 1e-4)
+    dist_sq = to_p.dot(to_p)
+    dist = jnp.sqrt(dist_sq)
+    l = to_p * (1.0 / dist)
+    area = 2.0 * TWO_PI * radius_sq
+    cos_a = jnp.abs(n.dot(l))
+    pdf = dist_sq / jnp.maximum(1e-6, area * cos_a)
+    return l, dist, pdf
+
+
 def power_heuristic(f, g):
     f2 = f * f
     return f2 / jnp.maximum(1e-6, f2 + g * g)

@@ -134,6 +134,34 @@ def test_sample_direction_to_sphere():
     np.testing.assert_allclose(np.asarray(pdf), expected_pdf, rtol=1e-4)
 
 
+def test_sample_direction_within_sphere():
+    """Area-measure alternate sampler (Sampling.hpp:202-217 parity):
+    points land on the surface, and the double-cover identity holds —
+    E[1/pdf] = 2 * solid angle subtended (every cone direction crosses the
+    surface twice when the WHOLE sphere is area-sampled)."""
+    n = 200000
+    center = np.array([0.0, 0.0, 5.0], np.float32)
+    radius = 1.0
+    rel = Vec3.splat(center, (n,))
+    t, s = jnp.asarray(_rand(n, 14)), jnp.asarray(_rand(n, 15))
+    l, dist, pdf = sampling.sample_direction_within_sphere(
+        rel, jnp.float32(radius**2), t, s
+    )
+    # sampled point lies on the (epsilon-inflated) surface
+    px = np.asarray(l.x) * np.asarray(dist) - center[0]
+    py = np.asarray(l.y) * np.asarray(dist) - center[1]
+    pz = np.asarray(l.z) * np.asarray(dist) - center[2]
+    r = np.sqrt(px**2 + py**2 + pz**2)
+    np.testing.assert_allclose(r, radius + 1e-4, atol=1e-3)
+    # directions are unit and pdf positive
+    np.testing.assert_allclose(np.asarray(l.length()), 1.0, atol=1e-4)
+    assert (np.asarray(pdf) > 0).all()
+    cd = float(np.linalg.norm(center))
+    omega = 2 * np.pi * (1 - np.sqrt(1 - radius**2 / cd**2))
+    est = (1.0 / np.asarray(pdf)).mean()
+    np.testing.assert_allclose(est, 2 * omega, rtol=0.02)
+
+
 def test_ggx_d_normalization():
     """Integral of D(h) * cos(h) over hemisphere == 1."""
     alpha2 = 0.3**2
