@@ -86,6 +86,40 @@ class Renderer:
         self.accumulate(n)
         return self.render(tonemap=tonemap)
 
+    def variance_map(self) -> np.ndarray:
+        """[H, W] per-pixel variance of the running mean from the
+        median-of-means bucket spread (free — no extra samples). Row 0 is
+        the top scanline, matching render()."""
+        from ..utils.metrics import pixel_variance_map
+
+        v = pixel_variance_map(
+            np.asarray(self.state.buckets), int(self.state.accumulations)
+        )
+        return v.reshape(self.height, self.width)[::-1]
+
+    def render_to_tolerance(
+        self,
+        tol: float,
+        max_spp: int = 10000,
+        check_every: Optional[int] = None,
+        tonemap: bool = True,
+        quantile: float = 0.99,
+    ) -> np.ndarray:
+        """Adaptive stopping (ROADMAP item 6, first stage): accumulate in
+        bucket-multiple chunks until the `quantile`-th per-pixel standard
+        error drops below `tol` (in linear radiance units) or max_spp is
+        reached. Uses the bucket-spread variance estimate, so convergence
+        tracking costs nothing beyond the samples themselves."""
+        b = self.policy.accumulation_buckets
+        step = check_every or 5 * b
+        step = -(-step // b) * b
+        while int(self.state.accumulations) < max_spp:
+            self.accumulate(step)
+            se = float(np.sqrt(np.quantile(self.variance_map(), quantile)))
+            if se < tol:
+                break
+        return self.render(tonemap=tonemap)
+
     def update_scene(self, scene: Scene):
         """Scene edit entry point: swaps the scene pytree and resets the
         accumulator (UpdateTracker semantics, Application.cpp:343-358,

@@ -42,6 +42,21 @@ def bucket_variance_estimate(buckets: np.ndarray, accumulations: int) -> float:
     return float(var_of_bucket_means.mean() / b)
 
 
+def pixel_variance_map(buckets: np.ndarray, accumulations: int) -> np.ndarray:
+    """Per-pixel variance of the running mean (channel-averaged), [npix].
+
+    Same estimator as bucket_variance_estimate but without the spatial
+    reduction — the basis for adaptive stopping / sample-allocation
+    (ROADMAP item 6; the reference keeps the 5 buckets only for the median
+    resolve, Renderer.hpp:41-46)."""
+    b = buckets.shape[0]
+    per_bucket = max(accumulations // b, 1)
+    means = buckets / per_bucket
+    if b <= 1:
+        return np.zeros(buckets.shape[-1], np.float32)
+    return (means.var(axis=0, ddof=1).mean(axis=0) / b).astype(np.float32)
+
+
 class MetricsLogger:
     """Append-only JSONL metrics stream + stdout one-liners."""
 

@@ -53,3 +53,27 @@ def test_stage_shares_smoke():
     assert shares["full_s"] > 0
     assert 0 <= shares["nee_shadow_s"] <= shares["full_s"]
     assert shares["first_bounce_s"] <= shares["full_s"] * 1.5
+
+
+def test_pixel_variance_map_and_adaptive_stop():
+    """variance_map: zero on the deterministic white furnace, positive on the
+    noisy hero scene; render_to_tolerance stops early when converged."""
+    from cpu_raytracing_experiments_tpu.render.api import Renderer
+    from cpu_raytracing_experiments_tpu.scene import builders
+    from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+
+    pol = RendererPolicy(max_bounces=4, rays_per_chunk=1024)
+    # white furnace: every sample is exactly 1.0 -> zero bucket spread ->
+    # tolerance met at the first check
+    furnace = Renderer(builders.white_furnace_scene(16, 16), pol, 16, 16)
+    img = furnace.render_to_tolerance(tol=1e-4, max_spp=100, tonemap=False)
+    assert int(furnace.state.accumulations) == 25  # one 5*B chunk, then stop
+    np.testing.assert_allclose(img, 1.0, atol=1e-5)
+    assert furnace.variance_map().max() < 1e-10
+    # hero scene is noisy: variance positive, a tight tolerance runs to cap
+    hero = Renderer(builders.default_scene(16, 16), pol, 16, 16)
+    hero.render_to_tolerance(tol=1e-12, max_spp=50, tonemap=False)
+    assert int(hero.state.accumulations) == 50
+    v = hero.variance_map()
+    assert v.shape == (16, 16)
+    assert v.max() > 0
