@@ -102,6 +102,17 @@ def _build_scene(args):
         scene = dataclasses.replace(
             scene, sky=Sky.from_image(img, ambient=(1.0, 1.0, 1.0))
         )
+    if getattr(args, "exposure", 1.0) != 1.0:
+        import dataclasses
+
+        import jax.numpy as jnp
+
+        scene = dataclasses.replace(
+            scene,
+            camera=dataclasses.replace(
+                scene.camera, exposure=jnp.float32(args.exposure)
+            ),
+        )
     if args.bvh:
         scene = accel.with_bvh(scene)
     if args.grid:
@@ -148,6 +159,8 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--spheres", type=int, help="sphere count for bvh_test/random_spheres scenes")
     p.add_argument("--subdiv", type=int, help="icosphere subdivisions for the mesh scene")
     p.add_argument("--prop", help="brdf_test property sweep (roughness, roughness_glass, ...)")
+    p.add_argument("--exposure", type=float, default=1.0,
+                   help="linear exposure applied at resolve (Renderer.hpp:439)")
     p.add_argument("--auto-tune", action="store_true",
                    help="pick samples/pass so each pass carries ~2^19 rays "
                         "(measured chip sweet spot; big win on small frames)")

@@ -47,3 +47,17 @@ def test_cli_auto_tune_policy():
     pre.preset = "preview"
     p = cli._policy_from_args(pre)
     assert p.samples_per_pixel == 8 and p.max_bounces < 8  # preview preset
+
+
+def test_cli_exposure_flag_wiring():
+    import argparse
+
+    from cpu_raytracing_experiments_tpu import cli
+
+    args = argparse.Namespace(
+        scene="white_furnace", width=32, height=32, spheres=None, subdiv=None,
+        prop=None, hdri=None, sky=None, bvh=False, grid=False, grid_res=32,
+        clustered=False, clusters=64, exposure=0.25,
+    )
+    scene = cli._build_scene(args)
+    assert float(scene.camera.exposure) == 0.25
