@@ -15,6 +15,7 @@ semantics (UpdateTracker, Application.cpp:335-358):
   /camera?translate=0,0,-0.5      (local frame, like WASD flight)
   /camera?rotate=0.05,0.1,0       (pitch, yaw, roll radians)
   /camera?focus=128,96            (depth-probe autofocus at pixel x,y)
+  /camera?focal=85&fnumber=2.8&exposure=0.5   (lens sliders)
 """
 from __future__ import annotations
 
@@ -164,6 +165,13 @@ def make_server(scene, policy, width: int, height: int, port: int = 8000):
                             editor.edit(edit_mod.translate_camera_local, vec("translate"))
                         if "rotate" in q:
                             editor.edit(edit_mod.rotate_camera_local, vec("rotate"))
+                        if any(k in q for k in ("focal", "fnumber", "exposure")):
+                            editor.edit(
+                                edit_mod.set_camera_lens, width, height,
+                                focal_length=float(q["focal"]) if "focal" in q else None,
+                                f_number=float(q["fnumber"]) if "fnumber" in q else None,
+                                exposure=float(q["exposure"]) if "exposure" in q else None,
+                            )
                         if "focus" in q:
                             from .render import probes
 

@@ -72,6 +72,10 @@ def test_edit_and_camera(live):
     assert np.isclose(float(renderer.scene.materials.albedo.x[0]), 0.5)
     code, body = _get(base + "/camera?translate=0,0,-0.25")
     assert (code, body) == (200, b"ok")
+    code, body = _get(base + "/camera?exposure=0.5&fnumber=2.8")
+    assert (code, body) == (200, b"ok")
+    assert np.isclose(float(renderer.scene.camera.exposure), 0.5)
+    assert float(renderer.scene.camera.aperture_radius) > 0
     code, body = _get(base + "/reset")
     assert (code, body) == (200, b"ok")
 
