@@ -28,6 +28,9 @@ def main():
                     help="orbit radius (default: initial camera distance)")
     ap.add_argument("--target", type=float, nargs=3, default=(0.0, 0.0, 0.0))
     ap.add_argument("--out", default="/tmp/turntable")
+    ap.add_argument("--gif", help="also assemble the frames into a looping GIF")
+    ap.add_argument("--denoise", action="store_true",
+                    help="a-trous denoise each frame (clean animation at low spp)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -68,10 +71,30 @@ def main():
         )
         r.update_scene(dataclasses.replace(r.scene, camera=cam))
         t0 = time.perf_counter()
-        img = r.render_spp(args.spp)
+        if args.denoise:
+            from cpu_raytracing_experiments_tpu.render.denoise import denoise_render
+
+            b = pol.accumulation_buckets
+            r.accumulate(-(-args.spp // b) * b)
+            img = denoise_render(r)
+        else:
+            img = r.render_spp(args.spp)
         path = os.path.join(args.out, f"frame_{i:04d}.png")
         image_io.write_png(path, img)
         print(f"{path}  {time.perf_counter() - t0:.2f}s", flush=True)
+
+    if args.gif:
+        from PIL import Image
+
+        frames = [
+            Image.open(os.path.join(args.out, f"frame_{i:04d}.png"))
+            for i in range(args.frames)
+        ]
+        frames[0].save(
+            args.gif, save_all=True, append_images=frames[1:],
+            duration=1000 // 12, loop=0,
+        )
+        print(args.gif, flush=True)
 
 
 if __name__ == "__main__":
