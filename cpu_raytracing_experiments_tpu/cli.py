@@ -37,8 +37,8 @@ def _policy_from_args(args):
             over["rays_per_chunk"] = args.chunk
         if over:
             policy = dataclasses.replace(policy, **over)
-        return _auto_tune(policy, args)
-    policy = RendererPolicy(
+        return policy
+    return RendererPolicy(
         max_bounces=args.bounces,
         brdf=args.brdf if args.brdf else ("ggx" if args.ggx else "lambertian"),
         mis=not args.no_mis,
@@ -55,19 +55,6 @@ def _policy_from_args(args):
         clamp_radiance=args.clamp is not None,
         max_radiance=args.clamp if args.clamp is not None else 1e2,
     )
-    return _auto_tune(policy, args)
-
-
-def _auto_tune(policy, args):
-    """--auto-tune: pick samples_per_pixel so each pass carries ~2^19 rays
-    (measured v5e sweet spot; +~40% throughput on small frames — see
-    utils/config.tuned_policy and benchmarks/RESULTS.md)."""
-    if not getattr(args, "auto_tune", False):
-        return policy
-    import dataclasses
-
-    spp = max(1, min(8, (1 << 19) // max(args.width * args.height, 1)))
-    return dataclasses.replace(policy, samples_per_pixel=spp)
 
 
 def _build_scene(args):
@@ -161,9 +148,6 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--prop", help="brdf_test property sweep (roughness, roughness_glass, ...)")
     p.add_argument("--exposure", type=float, default=1.0,
                    help="linear exposure applied at resolve (Renderer.hpp:439)")
-    p.add_argument("--auto-tune", action="store_true",
-                   help="pick samples/pass so each pass carries ~2^19 rays "
-                        "(measured chip sweet spot; big win on small frames)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--metrics", help="JSONL metrics output path")
     p.add_argument("--quiet", action="store_true")

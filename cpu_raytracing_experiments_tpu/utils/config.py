@@ -100,14 +100,14 @@ class ShardingConfig:
 
 
 def tuned_policy(width: int, height: int, **overrides) -> RendererPolicy:
-    """Measured-defaults helper: picks samples_per_pixel so each pass
-    carries ~2^19 rays (v5e sweet spot — small frames underutilize the chip
-    by ~40% at spp=1) and keeps the other knobs default."""
-    npix = width * height
-    spp = max(1, min(8, (1 << 19) // max(npix, 1)))
-    params = dict(samples_per_pixel=spp)
-    params.update(overrides)
-    return RendererPolicy(**params)
+    """Measured-defaults helper. Currently identical to the defaults:
+    a v5e sweep (benchmarks/RESULTS.md, spp-per-pass table) measured
+    samples_per_pixel=1 fastest at EVERY frame size — the spp>1 path's
+    reshape/sum epilogue costs more than any occupancy gain (an earlier
+    informal +40% reading did not reproduce). Multi-spp passes remain
+    supported for convergence workflows; don't enable them for speed."""
+    del width, height  # kept for call-site stability; nothing size-tuned now
+    return RendererPolicy(**overrides)
 
 
 DEFAULT_POLICY = RendererPolicy()

@@ -207,12 +207,13 @@ def test_rotate_camera_roundtrip():
 
 
 def test_tuned_policy():
+    """tuned_policy is currently the defaults: a v5e sweep measured spp=1
+    fastest at every frame size (benchmarks/RESULTS.md spp-per-pass table),
+    withdrawing the earlier informal spp-boost reading."""
     from cpu_raytracing_experiments_tpu.utils.config import tuned_policy
 
-    small = tuned_policy(256, 256)
-    assert small.samples_per_pixel == 8
-    big = tuned_policy(1920, 1088)
-    assert big.samples_per_pixel == 1
+    assert tuned_policy(256, 256).samples_per_pixel == 1
+    assert tuned_policy(1920, 1088).samples_per_pixel == 1
     override = tuned_policy(256, 256, max_bounces=4)
     assert override.max_bounces == 4
 

@@ -24,31 +24,6 @@ def test_every_preset_renders():
         assert np.isfinite(img).all(), name
 
 
-def test_cli_auto_tune_policy():
-    """--auto-tune picks spp so a pass carries ~2^19 rays; composes with
-    --preset; no-op on big frames."""
-    import argparse
-
-    from cpu_raytracing_experiments_tpu import cli
-
-    base = dict(
-        preset=None, bounces=8, chunk=1 << 19, brdf=None, ggx=False,
-        no_mis=False, light_sampling="uniform", bvh=False, clustered=False,
-        grid=False, average=False, dof=False, sky_bug_compat=False,
-        no_rr=False, stratify=False, clamp=None,
-    )
-    small = argparse.Namespace(**base, auto_tune=True, width=64, height=64)
-    assert cli._policy_from_args(small).samples_per_pixel == 8
-    big = argparse.Namespace(**base, auto_tune=True, width=1920, height=1088)
-    assert cli._policy_from_args(big).samples_per_pixel == 1
-    off = argparse.Namespace(**base, auto_tune=False, width=64, height=64)
-    assert cli._policy_from_args(off).samples_per_pixel == 1
-    pre = argparse.Namespace(**base, auto_tune=True, width=64, height=64)
-    pre.preset = "preview"
-    p = cli._policy_from_args(pre)
-    assert p.samples_per_pixel == 8 and p.max_bounces < 8  # preview preset
-
-
 def test_cli_exposure_flag_wiring():
     import argparse
 
