@@ -27,7 +27,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core import color, sampling
 from ..render import renderer as _renderer
 from ..render.estimator import RenderState
 from ..scene.scene import Scene
@@ -147,27 +146,17 @@ def resolve_sharded(
     tonemap: bool = True,
 ) -> jnp.ndarray:
     """Merge sp-partial buckets (psum across 'sp' happens via the sum over
-    the leading axis — XLA turns it into a collective), median-of-means,
-    tonemap, and return the full [H, W, 3] frame (all_gather over 'dp')."""
+    the leading axis — XLA turns it into a collective), then delegate to the
+    single-device estimator.resolve so the two paths can never diverge
+    (same median branches, same exposure/(rounds*spp) scale); the frame is
+    assembled via an all_gather over 'dp'."""
+    from ..render import estimator
+
     merged = jnp.sum(state.buckets, axis=0)  # [B, 3, npix]
-    b = policy.accumulation_buckets
-    n_rounds = jnp.maximum(state.accumulations // jnp.uint32(b), 1).astype(jnp.float32)
-    scale = jnp.asarray(exposure, jnp.float32) / n_rounds
-    if policy.median and b == 5:
-        channels = [
-            sampling.median5(*[merged[k, c] for k in range(5)]) * scale
-            for c in range(3)
-        ]
-    else:
-        channels = [jnp.mean(merged[:, c, :], axis=0) * scale for c in range(3)]
-    r, g, bl = channels
-    if tonemap:
-        r, g, bl = color.tonemap_aces(r, g, bl)
-    img = jnp.stack(
-        [r.reshape(height, width), g.reshape(height, width), bl.reshape(height, width)],
-        axis=-1,
+    return estimator.resolve(
+        RenderState(buckets=merged, accumulations=state.accumulations),
+        policy, exposure, width, height, tonemap,
     )
-    return img
 
 
 class ShardedRenderer:
@@ -213,11 +202,15 @@ class ShardedRenderer:
         return np.asarray(img)[::-1]
 
     def render_spp(self, spp: int, tonemap: bool = True) -> np.ndarray:
+        """Accumulate until at least `spp` total samples/pixel have been
+        traced (each pass traces policy.samples_per_pixel of them), rounded
+        up so passes divide both the bucket count and the sp axis."""
         b = self.policy.accumulation_buckets
         n_sp = self.mesh.shape["sp"]
         import math
 
         unit = b * n_sp // math.gcd(b, n_sp)
-        n = -(-spp // unit) * unit
+        passes = -(-spp // self.policy.samples_per_pixel)
+        n = -(-passes // unit) * unit
         self.accumulate(n)
         return self.render(tonemap=tonemap)

@@ -78,11 +78,13 @@ class Renderer:
 
     # -- convenience ---------------------------------------------------------
     def render_spp(self, spp: int, tonemap: bool = True) -> np.ndarray:
-        """Accumulate up to `spp` samples (rounded up to a bucket multiple so
-        every bucket carries equal weight, as Renderer.hpp:437 assumes) and
-        resolve."""
+        """Accumulate until at least `spp` total samples/pixel have been
+        traced — each pass contributes policy.samples_per_pixel — with the
+        pass count rounded up to a bucket multiple so every bucket carries
+        equal weight (as Renderer.hpp:437 assumes), then resolve."""
         b = self.policy.accumulation_buckets
-        n = -(-spp // b) * b
+        passes = -(-spp // self.policy.samples_per_pixel)
+        n = -(-passes // b) * b
         self.accumulate(n)
         return self.render(tonemap=tonemap)
 

@@ -573,11 +573,15 @@ def trace_rays(
     if vma_axes:
         # under shard_map the carry must be device-varying from the start
         # (replicated scene constants would otherwise flip the carry type
-        # mid-loop); pvary marks each leaf along any axes it lacks.
+        # mid-loop); pcast marks each leaf varying along any axes it lacks.
         def _pvary(a):
             have = getattr(jax.typeof(a), "vma", frozenset())
             missing = tuple(ax for ax in vma_axes if ax not in have)
-            return jax.lax.pvary(a, missing) if missing else a
+            if not missing:
+                return a
+            if hasattr(jax.lax, "pcast"):
+                return jax.lax.pcast(a, missing, to="varying")
+            return jax.lax.pvary(a, missing)
 
         init = jax.tree.map(_pvary, init)
 

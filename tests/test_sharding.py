@@ -104,3 +104,32 @@ def test_sharded_multi_spp_matches_single():
         np.asarray(single.state.buckets),
         rtol=2e-5, atol=1e-5,
     )
+    # resolved images must match too — this is where the spp division lives
+    # (a resolve that forgets samples_per_pixel is spp x too bright)
+    np.testing.assert_allclose(
+        r.render(tonemap=True), single.render(tonemap=True), rtol=2e-5, atol=1e-5
+    )
+
+
+def test_sharded_render_spp_sample_accounting():
+    """render_spp(spp) counts SAMPLES, not passes: with samples_per_pixel=2,
+    render_spp(10) must trace >= 10 samples in <= 10 passes on both paths,
+    and the two must agree."""
+    import dataclasses
+
+    pol = dataclasses.replace(POL, samples_per_pixel=2)
+    sc = builders.default_scene(W, H)
+    mesh = sharded.make_mesh(dp=4, sp=2)
+    r = sharded.ShardedRenderer(sc, pol, W, H, mesh)
+    img_sh = r.render_spp(10)
+    single = Renderer(sc, pol, W, H)
+    img_single = single.render_spp(10)
+    assert int(single.state.accumulations) == 5  # ceil(10/2) passes
+    assert int(r.state.accumulations) == 10  # rounded up to lcm(5, sp=2)
+    np.testing.assert_allclose(
+        img_single,
+        Renderer(sc, pol, W, H).render_spp(10),
+        rtol=0, atol=0,
+    )
+    # same estimator semantics: both resolve to comparable brightness
+    assert abs(float(img_sh.mean()) - float(img_single.mean())) < 0.02
