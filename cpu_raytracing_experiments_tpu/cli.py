@@ -44,7 +44,8 @@ def _policy_from_args(args):
         mis=not args.no_mis,
         light_sampling=args.light_sampling,
         use_bvh=args.bvh,
-        accel=("clustered" if args.clustered else
+        accel=("pallas" if getattr(args, "pallas", False) else
+               "clustered" if args.clustered else
                "grid" if args.grid else "bvh" if args.bvh else "brute"),
         median=not args.average,
         rays_per_chunk=args.chunk,
@@ -106,6 +107,8 @@ def _build_scene(args):
         scene = accel.with_grid(scene, res=args.grid_res)
     if args.clustered:
         scene = accel.with_clusters(scene, num_clusters=args.clusters)
+    if getattr(args, "pallas", False):
+        scene = accel.with_pallas_clusters(scene)
     return scene
 
 
@@ -127,6 +130,8 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--clustered", action="store_true",
                    help="morton-clustered culled batteries (large scenes)")
     p.add_argument("--clusters", type=int, default=64)
+    p.add_argument("--pallas", action="store_true",
+                   help="Pallas clustered-traversal kernel (large scenes, TPU)")
     p.add_argument("--ggx", action="store_true", help="GGX closure instead of lambertian")
     p.add_argument("--brdf", choices=["lambertian", "ggx", "principled"],
                    help="closure model (overrides --ggx)")

@@ -16,14 +16,29 @@ Root-selection semantics match BVH.hpp:250-287 exactly:
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
 from ..core.vec import Vec3
 from .pallas import sphere_kernel as _pk
+from .pallas import traverse_kernel as _tk
 
 FLT_MAX = jnp.float32(3.4028235e38)
+
+
+def _pallas_kw(policy) -> dict:
+    """pallas_* knobs from a RendererPolicy (defaults when policy is None)."""
+    if policy is None:
+        return {"tile_r": _tk.DEFAULT_TILE_R, "sort": True, "compact": False,
+                "interpret": False}
+    return {
+        "tile_r": policy.pallas_tile_rays,
+        "sort": policy.pallas_sort_visits,
+        "compact": policy.pallas_compact,
+        "interpret": policy.pallas_interpret,
+    }
 
 
 def _sphere_candidates(p: Vec3, d: Vec3, cx, cy, cz, r_sq):
@@ -179,7 +194,7 @@ def occluded_triangles(
 # ---------------------------------------------------------------------------
 def intersect_scene(
     scene, p: Vec3, d: Vec3, use_pallas: bool = False, use_bvh: bool = False,
-    accel: str = None,
+    accel: str = None, alive=None, policy=None,
 ):
     """Closest hit over all scene geometry.
 
@@ -189,8 +204,28 @@ def intersect_scene(
     use_bvh selects the stackless threaded-BVH traversal (requires
     scene.accel.with_bvh); the default brute-force battery matches the
     reference's shipped USEBVH=false configuration (BVH.hpp:307).
+    accel='pallas' runs the clustered-traversal kernel
+    (ops/pallas/traverse_kernel.py); `alive` masks dead wavefront lanes so
+    the kernel can skip them (they return miss), and `policy` carries the
+    pallas_* knobs.
     """
     accel = accel or ("bvh" if use_bvh else "brute")
+    if accel == "pallas" and scene.sphere_clusters is not None and _tk.available():
+        kw = _pallas_kw(policy)
+        compact = kw.pop("compact")
+        if compact and alive is not None:
+            run = partial(_tk.intersect_clustered_pallas_compact, alive=alive)
+        else:
+            run = partial(_tk.intersect_clustered_pallas, alive=alive)
+        tfar, prim_id = run(scene.sphere_clusters, p, d, **kw)
+        is_tri = jnp.zeros_like(prim_id, bool)
+        if scene.triangles is not None and scene.tri_clusters is not None:
+            t2, id2 = run(scene.tri_clusters, p, d, tfar0=tfar, **kw)
+            hit_tri = id2 >= 0
+            prim_id = jnp.where(hit_tri, id2, prim_id)
+            tfar = jnp.where(hit_tri, t2, tfar)
+            is_tri = hit_tri
+        return tfar, prim_id, is_tri
     if accel == "clustered" and scene.sphere_clusters is not None:
         from . import clustered as _cl
 
@@ -269,8 +304,23 @@ def intersect_scene(
 def occluded_scene(
     scene, p: Vec3, d: Vec3, tfar: jnp.ndarray,
     use_pallas: bool = False, use_bvh: bool = False, accel: str = None,
+    policy=None,
 ):
     accel = accel or ("bvh" if use_bvh else "brute")
+    if accel == "pallas" and scene.sphere_clusters is not None and _tk.available():
+        kw = _pallas_kw(policy)
+        compact = kw.pop("compact")
+        run = (
+            _tk.occluded_clustered_pallas_compact
+            if compact
+            else _tk.occluded_clustered_pallas
+        )
+        occ = run(scene.sphere_clusters, p, d, tfar, **kw)
+        if scene.triangles is not None and scene.tri_clusters is not None:
+            occ = occ | run(
+                scene.tri_clusters, p, d, jnp.where(occ, 0.0, tfar), **kw
+            )
+        return occ
     if accel == "clustered" and scene.sphere_clusters is not None:
         from . import clustered as _cl
 

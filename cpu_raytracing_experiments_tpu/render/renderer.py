@@ -479,7 +479,7 @@ def _next_event_estimation(
     # any-hit test can never mark them occluded (result unused anyway).
     occluded = intersect.occluded_scene(
         scene, p_offset, l_dir, jnp.where(valid, l_dist, 0.0),
-        accel=policy.effective_accel,
+        accel=policy.effective_accel, policy=policy,
     )
     contribution = shadow_radiance.where(valid & ~occluded, Vec3.zeros(zeros.shape))
     return contribution, valid
@@ -605,7 +605,8 @@ def bounce_step(scene, policy, accumulation, seeds, state: PathState) -> PathSta
         # ---- INTERSECTION (Renderer.hpp:165) ----
         with jax.named_scope("intersect"):
             tfar, prim_id, is_tri = intersect.intersect_scene(
-                scene, state.p, state.d, accel=policy.effective_accel
+                scene, state.p, state.d, accel=policy.effective_accel,
+                alive=state.alive, policy=policy,
             )
         hit = state.alive & (prim_id >= 0)
         miss = state.alive & (prim_id < 0)

@@ -102,6 +102,21 @@ def with_grid(scene: Scene, res: int = 32, max_per_cell: int = 16) -> Scene:
     return dataclasses.replace(scene, sphere_grid=sphere_grid, tri_grid=tri_grid)
 
 
+def with_pallas_clusters(scene: Scene, cluster_size: int = 128) -> Scene:
+    """Attach clusters sized for the Pallas traversal kernel (accel='pallas',
+    ops/pallas/traverse_kernel.py): K = the VPU lane width so one cluster
+    battery is one full-width op stream."""
+    n_sph = -(-scene.spheres.count // cluster_size)
+    sc = with_clusters(scene, num_clusters=n_sph)
+    if scene.triangles is not None:
+        n_tri = -(-scene.triangles.count // cluster_size)
+        if n_tri != n_sph:
+            # rebuild just the triangle clusters at their own count
+            sc2 = with_clusters(scene, num_clusters=n_tri)
+            sc = dataclasses.replace(sc, tri_clusters=sc2.tri_clusters)
+    return sc
+
+
 def with_clusters(scene: Scene, num_clusters: int = 64) -> Scene:
     """Attach morton-clustered battery tables (ops/clustered.py) — the
     large-scene backend. No primitive reorder (cluster tables carry original

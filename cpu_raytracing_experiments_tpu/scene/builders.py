@@ -290,10 +290,12 @@ def mesh_scene(
     height: int = 512,
     subdivisions: int = 6,
     obj_path=None,
+    uv_res: int = 0,
 ) -> Scene:
     """Large triangle-mesh scene (BASELINE.json config 5 scale): a displaced
-    icosphere (20*4^k tris; k=6 -> 81,920, k=7 -> 327,680) or a user OBJ,
-    over a ground plane, lit by a sphere light + dim sky."""
+    icosphere (20*4^k tris; k=6 -> 81,920, k=7 -> 327,680), an exact-count
+    displaced UV sphere (uv_res=224 -> 99,904 tris for the 100k spec), or a
+    user OBJ, over a ground plane, lit by a sphere light + dim sky."""
     from . import meshes
 
     b = _SceneBuilder()
@@ -307,6 +309,8 @@ def mesh_scene(
         # normalize into a unit-ish object above the ground
         verts = verts - verts.mean(0)
         verts = verts / np.abs(verts).max()
+    elif uv_res:
+        verts, faces = meshes.displaced_uv_sphere(uv_res, uv_res)
     else:
         verts, faces = meshes.displaced_icosphere(subdivisions)
     tris = meshes.mesh_to_triangles(verts, faces, body)

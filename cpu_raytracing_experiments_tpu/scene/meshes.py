@@ -84,6 +84,30 @@ def displaced_icosphere(subdivisions: int = 6, displacement: float = 0.15, seed:
     return v.astype(np.float32), f
 
 
+def displaced_uv_sphere(n_u: int = 224, n_v: int = 224,
+                        displacement: float = 0.15, seed: int = 7):
+    """Exact-count organic mesh: a UV sphere of 2 * n_u * n_v triangles with
+    the same fBm displacement as displaced_icosphere. 224x224 gives 100,352
+    tris — use it when a config demands a specific triangle count (BASELINE
+    config 5: ~100k)."""
+    theta = np.linspace(1e-3, np.pi - 1e-3, n_v + 1)
+    phi = np.linspace(0.0, 2 * np.pi, n_u, endpoint=False)
+    tt, pp = np.meshgrid(theta, phi, indexing="ij")  # [n_v+1, n_u]
+    v = np.stack(
+        [np.sin(tt) * np.cos(pp), np.cos(tt), np.sin(tt) * np.sin(pp)], axis=-1
+    ).reshape(-1, 3)
+    idx = np.arange((n_v + 1) * n_u).reshape(n_v + 1, n_u)
+    right = np.roll(idx, -1, axis=1)
+    a, b = idx[:-1], idx[1:]
+    c, d = right[:-1], right[1:]
+    f1 = np.stack([a, b, c], axis=-1).reshape(-1, 3)
+    f2 = np.stack([c, b, d], axis=-1).reshape(-1, 3)
+    f = np.concatenate([f1, f2], axis=0).astype(np.int64)
+    bump = _fbm(v, seed=seed)
+    v = v * (1.0 + displacement * bump[:, None])
+    return v.astype(np.float32), f
+
+
 def load_obj(path):
     """Minimal OBJ loader: v / f records, triangulates fans."""
     verts, faces = [], []

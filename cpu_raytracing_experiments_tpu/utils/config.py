@@ -44,8 +44,18 @@ class RendererPolicy:
     # dormant ReSTIR hook, Sampling.hpp:25-73); NEE-only direct light
     use_bvh: bool = False  # #define USEBVH false (reference ships brute force)
     accel: str = "brute"  # 'brute' | 'bvh' (threaded) | 'grid' (DDA) |
-    # 'clustered' (morton clusters + lax.cond-skipped dense batteries — the
-    # large-scene backend); use_bvh=True is an alias for accel='bvh'
+    # 'clustered' (morton clusters + lax.cond-skipped dense batteries) |
+    # 'pallas' (the Pallas clustered-traversal kernel with per-tile sorted
+    # visit lists + alive compaction — the large-scene production backend,
+    # ops/pallas/traverse_kernel.py); use_bvh=True is an alias for accel='bvh'
+    pallas_tile_rays: int = 256  # rays per kernel tile (accel='pallas')
+    pallas_sort_visits: bool = True  # front-to-back per-tile cluster order
+    pallas_compact: bool = False  # alive-first ray compaction before traversal
+    # (measured SLOWER on v5e: the gather/scatter of ray SoA costs ~25 ms per
+    # traversal at 262k rays; per-ray-masked visit planning already skips
+    # dead lanes' clusters without reordering — see ARCHITECTURE.md)
+    pallas_interpret: bool = False  # run the kernel in the Pallas interpreter
+    # (CPU CI only; compiled Mosaic on TPU)
     median: bool = True  # #define MEDIAN true (median vs average resolve)
 
     # TPU-specific execution knobs (no reference equivalent):
@@ -85,7 +95,7 @@ class RendererPolicy:
 
     def __post_init__(self):
         assert self.brdf in ("lambertian", "ggx", "principled"), self.brdf
-        assert self.accel in ("brute", "bvh", "grid", "clustered"), self.accel
+        assert self.accel in ("brute", "bvh", "grid", "clustered", "pallas"), self.accel
         assert self.light_sampling in ("uniform", "power", "ris"), self.light_sampling
         assert self.accumulation_buckets % 2 == 1, "median needs odd buckets"
 

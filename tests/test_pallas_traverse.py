@@ -1,0 +1,170 @@
+"""Pallas clustered-traversal kernel (ops/pallas/traverse_kernel.py) vs the
+brute battery oracle — interpret mode on CPU. The same kernel compiles via
+Mosaic on TPU (validated on hardware; benchmarks/RESULTS.md)."""
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cpu_raytracing_experiments_tpu.core.vec import Vec3
+from cpu_raytracing_experiments_tpu.ops import clustered, intersect
+from cpu_raytracing_experiments_tpu.ops.pallas import traverse_kernel as tk
+
+RNG = np.random.default_rng(42)
+
+
+def _sphere_setup(P=200, K=64):
+    centers = RNG.uniform(-5, 5, (P, 3)).astype(np.float32)
+    radii = RNG.uniform(0.1, 0.6, P).astype(np.float32)
+    rows = np.concatenate([centers, (radii ** 2)[:, None]], axis=1)
+    cp = clustered.build_clusters(
+        centers - radii[:, None], centers + radii[:, None], rows,
+        num_clusters=-(-P // K), kind="sphere",
+    )
+    geom = (
+        Vec3(*[jnp.asarray(centers[:, i]) for i in range(3)]),
+        jnp.asarray(radii ** 2),
+    )
+    return cp, geom
+
+
+def _rays(R=500):
+    p = RNG.uniform(-8, 8, (R, 3)).astype(np.float32)
+    d = RNG.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return (
+        Vec3(*[jnp.asarray(p[:, i]) for i in range(3)]),
+        Vec3(*[jnp.asarray(d[:, i].astype(np.float32)) for i in range(3)]),
+    )
+
+
+@pytest.mark.parametrize("tile_r,sort", [(128, True), (64, False)])
+def test_closest_matches_brute(tile_r, sort):
+    cp, geom = _sphere_setup()
+    p, d = _rays()
+    t_ref, id_ref = intersect.intersect_spheres(p, d, *geom)
+    t_pk, id_pk = tk.intersect_clustered_pallas(
+        cp, p, d, tile_r=tile_r, sort=sort, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(id_pk), np.asarray(id_ref))
+    hit = np.asarray(id_ref) >= 0
+    np.testing.assert_allclose(
+        np.asarray(t_pk)[hit], np.asarray(t_ref)[hit], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_closest_tfar_seed():
+    """tfar0 seeding: only strictly closer hits replace the seed."""
+    cp, geom = _sphere_setup()
+    p, d = _rays(300)
+    t_ref, id_ref = intersect.intersect_spheres(p, d, *geom)
+    seed = jnp.where(jnp.asarray(id_ref) >= 0, t_ref * 0.5, 3.4e38)
+    t_pk, id_pk = tk.intersect_clustered_pallas(
+        cp, p, d, tfar0=seed, tile_r=128, interpret=True
+    )
+    # every hit in the seeded run must beat the seed
+    hit = np.asarray(id_pk) >= 0
+    assert (np.asarray(t_pk)[hit] < np.asarray(seed)[hit]).all()
+    # rays whose seed cut off all prims return miss with tfar == seed
+    np.testing.assert_allclose(
+        np.asarray(t_pk)[~hit], np.asarray(seed)[~hit], rtol=1e-6
+    )
+
+
+def test_shadow_matches_brute():
+    cp, geom = _sphere_setup()
+    p, d = _rays(400)
+    tfar = jnp.asarray(
+        np.where(RNG.uniform(size=400) < 0.25, 0.0,
+                 RNG.uniform(0.5, 20.0, 400)).astype(np.float32)
+    )
+    occ_ref = np.asarray(intersect.occluded_spheres(p, d, tfar, *geom))
+    occ_ref = occ_ref & (np.asarray(tfar) > 0)  # tfar=0 masks the lane
+    occ_pk = np.asarray(
+        tk.occluded_clustered_pallas(cp, p, d, tfar, tile_r=128, interpret=True)
+    )
+    np.testing.assert_array_equal(occ_pk, occ_ref)
+
+
+def test_alive_mask_and_compaction():
+    cp, geom = _sphere_setup()
+    p, d = _rays(500)
+    alive = jnp.asarray(RNG.uniform(size=500) < 0.5)
+    t_ref, id_ref = intersect.intersect_spheres(p, d, *geom)
+    # masked (uncompacted): dead lanes return miss
+    t_m, id_m = tk.intersect_clustered_pallas(
+        cp, p, d, alive=alive, tile_r=128, interpret=True
+    )
+    a = np.asarray(alive)
+    np.testing.assert_array_equal(np.asarray(id_m)[a], np.asarray(id_ref)[a])
+    assert (np.asarray(id_m)[~a] == -1).all()
+    # compacted wrapper: same contract
+    t_c, id_c = tk.intersect_clustered_pallas_compact(
+        cp, p, d, alive, tile_r=128, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(id_c)[a], np.asarray(id_ref)[a])
+    assert (np.asarray(id_c)[~a] == -1).all()
+
+
+def test_compact_order_roundtrip():
+    alive = jnp.asarray(RNG.uniform(size=333) < 0.3)
+    order, inv = tk.compact_order(alive)
+    order, inv = np.asarray(order), np.asarray(inv)
+    a = np.asarray(alive)
+    n = int(a.sum())
+    assert a[order[:n]].all() and not a[order[n:]].any()
+    # stable within each class
+    assert (np.diff(order[:n]) > 0).all() and (np.diff(order[n:]) > 0).all()
+    x = np.arange(333)
+    np.testing.assert_array_equal(x[order][inv], x)
+
+
+def test_triangle_traversal_matches_brute():
+    T = 150
+    v0 = RNG.uniform(-4, 4, (T, 3)).astype(np.float32)
+    e1 = RNG.normal(0, 0.8, (T, 3)).astype(np.float32)
+    e2 = RNG.normal(0, 0.8, (T, 3)).astype(np.float32)
+    rows = np.concatenate([v0, e1, e2], axis=1)
+    pts = np.stack([v0, v0 + e1, v0 + e2], axis=0)
+    cp = clustered.build_clusters(
+        pts.min(axis=0), pts.max(axis=0), rows, num_clusters=-(-T // 32),
+        kind="triangle",
+    )
+    geom = tuple(
+        Vec3(*[jnp.asarray(a[:, i]) for i in range(3)]) for a in (v0, e1, e2)
+    )
+    p, d = _rays(400)
+    t_ref, id_ref = intersect.intersect_triangles(p, d, *geom)
+    t_pk, id_pk = tk.intersect_clustered_pallas(cp, p, d, tile_r=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(id_pk), np.asarray(id_ref))
+    tfar = jnp.asarray(RNG.uniform(0.5, 15.0, 400).astype(np.float32))
+    occ_ref = np.asarray(intersect.occluded_triangles(p, d, tfar, *geom))
+    occ_pk = np.asarray(
+        tk.occluded_clustered_pallas(cp, p, d, tfar, tile_r=128, interpret=True)
+    )
+    np.testing.assert_array_equal(occ_pk, occ_ref)
+
+
+def test_renderer_accel_pallas_matches_brute():
+    """Full renderer with accel='pallas' (interpret) is bit-identical to
+    brute on a mixed sphere+triangle scene."""
+    from cpu_raytracing_experiments_tpu.render.api import Renderer
+    from cpu_raytracing_experiments_tpu.scene import accel as accel_mod
+    from cpu_raytracing_experiments_tpu.scene import builders
+    from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+
+    w = h = 24
+    scene = builders.cornell_box_scene(w, h)  # spheres + triangles
+    base = RendererPolicy(max_bounces=4, rays_per_chunk=w * h)
+    rb = Renderer(scene, base, w, h)
+    rb.accumulate(3)
+    sc = accel_mod.with_pallas_clusters(scene, cluster_size=32)
+    pol = dataclasses.replace(
+        base, accel="pallas", pallas_tile_rays=64, pallas_interpret=True
+    )
+    rp = Renderer(sc, pol, w, h)
+    rp.accumulate(3)
+    np.testing.assert_array_equal(
+        np.asarray(rp.state.buckets), np.asarray(rb.state.buckets)
+    )
