@@ -1,0 +1,77 @@
+"""BASELINE config 5 AT SPEC: 100k-triangle mesh, 3840x2160, 256 spp.
+
+Runs the accel='pallas' renderer in 1-pass jit calls (each ~15 s, safely
+under the ~60 s device-execution guard), checkpointing every 16 passes so a
+preemption resumes bit-exactly. Writes a JSONL progress log, the final PNG
+and the RESULTS-ready summary line.
+
+Launch detached:  setsid nohup python benchmarks/run_config5_4k.py \
+    > benchmarks/config5_4k.log 2>&1 & disown
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from cpu_raytracing_experiments_tpu.render import checkpoint
+from cpu_raytracing_experiments_tpu.render.api import Renderer
+from cpu_raytracing_experiments_tpu.scene import accel, builders
+from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+
+W, H, SPP = 3840, 2160, 256
+CKPT = "benchmarks/config5_4k.npz"
+LOG = "benchmarks/config5_4k.jsonl"
+OUT = "examples/mesh_100k_4k.png"
+
+
+def log(**kw):
+    kw["t"] = round(time.time(), 1)
+    with open(LOG, "a") as fh:
+        fh.write(json.dumps(kw) + "\n")
+    print(kw, flush=True)
+
+
+def main():
+    scene = builders.mesh_scene(W, H, uv_res=224)
+    ntri = scene.triangles.count
+    sc = accel.with_pallas_clusters(scene, cluster_size=128)
+    pol = RendererPolicy(max_bounces=8, accel="pallas", pallas_tile_rays=256)
+    r = Renderer(sc, pol, W, H)
+    done = 0
+    if checkpoint.exists(CKPT):
+        r.state = checkpoint.load(CKPT, pol, W, H)
+        done = int(r.state.accumulations)
+        log(event="resume", spp_done=done)
+    log(event="start", tris=int(ntri), width=W, height=H, target_spp=SPP)
+    t_all = time.perf_counter()
+    wall_accum = 0.0
+    while done < SPP:
+        t0 = time.perf_counter()
+        r.accumulate(1)
+        float(r.state.buckets[0, 0, 0])  # host-read fence
+        dt = time.perf_counter() - t0
+        wall_accum += dt
+        done += 1
+        if done % 16 == 0 or done == SPP:
+            tmp = CKPT + ".tmp.npz"
+            checkpoint.save(tmp, r.state, pol, W, H)
+            os.replace(tmp, CKPT)
+            log(event="progress", spp=done, last_pass_s=round(dt, 2),
+                mean_pass_s=round(wall_accum / max(done, 1), 2))
+    img = r.render(tonemap=True)
+    from PIL import Image
+
+    Image.fromarray((np.clip(img, 0, 1) * 255).astype(np.uint8)).save(OUT)
+    total = time.perf_counter() - t_all
+    msam = W * H * SPP / wall_accum / 1e6
+    log(event="done", spp=SPP, wall_s=round(total, 1),
+        accum_wall_s=round(wall_accum, 1),
+        msamples_per_s=round(msam, 2), out=OUT)
+
+
+if __name__ == "__main__":
+    main()

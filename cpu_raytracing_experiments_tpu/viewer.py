@@ -31,14 +31,108 @@ import numpy as np
 _PAGE = """<!doctype html>
 <html><head><title>tpu pathtracer</title><style>
 body { background:#111; color:#ccc; font-family:monospace; text-align:center }
-img { image-rendering:pixelated; margin-top:1em; max-width:95vw }
+img { image-rendering:pixelated; margin-top:0.5em; max-width:95vw; cursor:crosshair }
+#panel { display:inline-block; text-align:left; margin:0.5em; font-size:12px }
+#panel label { display:inline-block; width:7em }
+input[type=range] { width:10em; vertical-align:middle }
+#help { color:#777; font-size:11px }
 </style></head><body>
 <div id="stats">...</div>
-<canvas id="plot" width="320" height="48" style="display:block;margin:0.5em auto;background:#181818"></canvas>
-<img id="frame" src="/frame.png">
+<canvas id="plot" width="320" height="48" style="display:block;margin:0.3em auto;background:#181818"></canvas>
+<div id="help">drag = look &nbsp; WASD/QE = fly (shift = fast) &nbsp;
+right-click = focus &nbsp; <a href="/frame.hdr" download style="color:#6cf">save .hdr</a></div>
+<img id="frame" src="/frame.png" draggable="false">
+<div id="panel">
+ <div>
+  <label>material</label><select id="mat"></select>
+  <label style="width:5em">roughness</label>
+  <input type="range" id="rough" min="0" max="1" step="0.01">
+  <span id="roughv"></span>
+ </div>
+ <div>
+  <label>albedo</label><input type="color" id="albedo">
+  <label style="width:5em">emission</label>
+  <input type="range" id="emit" min="0" max="2.5" step="0.01">
+  <span id="emitv"></span>
+ </div>
+ <div>
+  <label>fly speed</label><input type="range" id="speed" min="-2" max="2" step="0.1" value="0">
+ </div>
+</div>
 <script>
+const img = document.getElementById('frame');
+let mats = [], cur = 0;
+const hex = v => Math.round(Math.pow(Math.min(Math.max(v,0),1), 1/2.2)*255)
+  .toString(16).padStart(2,'0');
+const unhex = s => [1,3,5].map(i => Math.pow(parseInt(s.substr(i,2),16)/255, 2.2));
+function showMat() {
+  const m = mats[cur]; if (!m) return;
+  document.getElementById('rough').value = m.roughness;
+  document.getElementById('roughv').textContent = m.roughness.toFixed(2);
+  document.getElementById('albedo').value = '#'+m.albedo.map(hex).join('');
+  const e = Math.max(...m.emission);
+  document.getElementById('emit').value = Math.log10(Math.max(e,1e-3)+1);
+  document.getElementById('emitv').textContent = e.toFixed(1);
+}
+async function loadMats() {
+  mats = await (await fetch('/materials')).json();
+  const sel = document.getElementById('mat');
+  sel.innerHTML = mats.map((m,i) => `<option value="${i}">#${i}</option>`).join('');
+  sel.onchange = () => { cur = +sel.value; showMat(); };
+  showMat();
+}
+document.getElementById('rough').oninput = ev => {
+  mats[cur].roughness = +ev.target.value; showMat();
+  fetch(`/edit?material=${cur}&roughness=${ev.target.value}`);
+};
+document.getElementById('albedo').oninput = ev => {
+  mats[cur].albedo = unhex(ev.target.value);
+  fetch(`/edit?material=${cur}&albedo=${mats[cur].albedo.map(v=>v.toFixed(4))}`);
+};
+document.getElementById('emit').oninput = ev => {
+  const e = Math.pow(10, +ev.target.value) - 1;
+  mats[cur].emission = [e, e, e]; showMat();
+  fetch(`/edit?material=${cur}&emission=${e.toFixed(3)},${e.toFixed(3)},${e.toFixed(3)}`);
+};
+// --- fly camera: drag to look, WASD/QE to move (Application.cpp:309-333) ---
+const held = new Set();
+let dragging = false, dp = 0, dy = 0;
+window.addEventListener('keydown', ev => {
+  if (['KeyW','KeyA','KeyS','KeyD','KeyQ','KeyE','ShiftLeft','ShiftRight']
+      .includes(ev.code)) {
+    held.add(ev.code); ev.preventDefault();
+  }
+});
+window.addEventListener('keyup', ev => held.delete(ev.code));
+img.addEventListener('mousedown', ev => { if (ev.button === 0) dragging = true; });
+window.addEventListener('mouseup', () => dragging = false);
+window.addEventListener('mousemove', ev => {
+  if (!dragging) return;
+  dy -= ev.movementX * 0.003;  // yaw
+  dp -= ev.movementY * 0.003;  // pitch
+});
+img.addEventListener('contextmenu', ev => {  // right-click depth-probe focus
+  ev.preventDefault();
+  const r = img.getBoundingClientRect();
+  const px = Math.floor((ev.clientX - r.left) / r.width * img.naturalWidth);
+  const py = Math.floor((ev.clientY - r.top) / r.height * img.naturalHeight);
+  fetch(`/camera?focus=${px},${img.naturalHeight - 1 - py}`);  // y-up flip
+});
+setInterval(() => {  // 20 Hz control loop
+  const q = [];
+  if (dp || dy) { q.push(`rotate=${dp.toFixed(4)},${dy.toFixed(4)},0`); dp = dy = 0; }
+  let v = Math.pow(10, +document.getElementById('speed').value) * 0.05;
+  if (held.has('ShiftLeft') || held.has('ShiftRight')) v *= 5;
+  if (held.size) {
+    const t = [0, 0, 0];
+    if (held.has('KeyW')) t[2] -= v;   if (held.has('KeyS')) t[2] += v;
+    if (held.has('KeyA')) t[0] -= v;   if (held.has('KeyD')) t[0] += v;
+    if (held.has('KeyQ')) t[1] -= v;   if (held.has('KeyE')) t[1] += v;
+    q.push(`translate=${t.map(x=>x.toFixed(4))}`);
+  }
+  if (q.length) fetch('/camera?' + q.join('&'));
+}, 50);
 async function tick() {
-  const img = document.getElementById('frame');
   img.src = '/frame.png?' + Date.now();
   const s = await (await fetch('/stats')).json();
   document.getElementById('stats').textContent =
@@ -53,6 +147,7 @@ async function tick() {
   c.stroke();
 }
 setInterval(tick, 1000);
+loadMats();
 </script></body></html>"""
 
 
@@ -131,6 +226,35 @@ def make_server(scene, policy, width: int, height: int, port: int = 8000):
                 with lock:
                     renderer.reset_accumulator()
                 self._send(200, "text/plain", b"ok")
+            elif path == "/materials":
+                with lock:
+                    m = renderer.scene.materials
+                    body = json.dumps(
+                        [
+                            {
+                                "albedo": [float(m.albedo.x[i]), float(m.albedo.y[i]),
+                                           float(m.albedo.z[i])],
+                                "emission": [float(m.emission.x[i]), float(m.emission.y[i]),
+                                             float(m.emission.z[i])],
+                                "roughness": float(m.roughness[i]),
+                            }
+                            for i in range(m.count)
+                        ]
+                    ).encode()
+                self._send(200, "application/json", body)
+            elif path == "/frame.hdr":
+                # F5-screenshot parity: HDR export of the current resolve
+                # (Application.cpp:254-257 -> Image::Store, Image.cpp:71-74)
+                import tempfile
+
+                from .utils import image as image_io
+
+                with lock:
+                    hdr = renderer.render(tonemap=False)
+                with tempfile.NamedTemporaryFile(suffix=".hdr") as tmp:
+                    image_io.write_hdr(tmp.name, hdr)
+                    tmp.seek(0)
+                    self._send(200, "image/vnd.radiance", tmp.read())
             elif path in ("/edit", "/camera"):
                 from .scene import edit as edit_mod
 

@@ -80,6 +80,43 @@ def test_edit_and_camera(live):
     assert (code, body) == (200, b"ok")
 
 
+def test_materials_endpoint(live):
+    base, renderer = live
+    code, body = _get(base + "/materials")
+    assert code == 200
+    mats = json.loads(body)
+    assert len(mats) == int(renderer.scene.materials.count)
+    assert {"albedo", "emission", "roughness"} <= set(mats[0])
+    assert all(len(m["albedo"]) == 3 for m in mats)
+
+
+def test_frame_hdr_export(live):
+    base, _ = live
+    code, body = _get(base + "/frame.hdr")
+    assert code == 200
+    assert body.startswith(b"#?")  # Radiance header
+
+
+def test_focus_probe_endpoint(live):
+    base, renderer = live
+    code, body = _get(base + "/camera?focus=8,8")
+    assert (code, body) == (200, b"ok")
+    # white furnace: center pixel hits the unit sphere -> finite focus
+    import numpy as np
+
+    assert np.isfinite(float(renderer.scene.camera.focus_distance))
+
+
+def test_interactive_page_controls(live):
+    """The served page carries the fly-cam / focus / slider wiring."""
+    base, _ = live
+    _, body = _get(base + "/")
+    page = body.decode()
+    for needle in ("KeyW", "contextmenu", "rotate=", "translate=",
+                   "/materials", "roughness", "frame.hdr"):
+        assert needle in page, needle
+
+
 def test_bad_requests(live):
     base, _ = live
     code, body = _get(base + "/edit?material=0&albedo=not,a,vec")
