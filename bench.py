@@ -113,6 +113,12 @@ def main():
         "device": str(devices[0]),
         "config": f"default scene {WIDTH}x{HEIGHT}, {PASSES} spp, {BOUNCES} bounces",
         "rays_per_pass": rays_per_pass,
+        # Mrays numerator definition + sanity cross-check: useful rays =
+        # closest-hit rays per live bounce + valid NEE shadow rays (in-kernel
+        # counter, renderer.py PathState.ray_count). Cross-check: rays/sample
+        # ~= avg_path_length * (1 + shadow_fraction), must sit in [1, 2*max_bounces].
+        "rays_definition": "closest-hit rays per live bounce + valid NEE shadow rays (in-kernel counter)",
+        "useful_rays_per_sample": round(rays_per_pass / (WIDTH * HEIGHT), 3),
         "Msamples_per_s": round(msamples, 3),
         ("spp_per_s_1080p" if platform == "tpu" else "spp_per_s"): round(PASSES / dt, 3),
         "wall_s": round(dt, 3),

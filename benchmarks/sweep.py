@@ -115,30 +115,53 @@ def main():
     pol = RendererPolicy(max_bounces=8, enable_dof=True)
     results.append(measure("4. DoF 1080p", scene, pol, w, h, 128))
 
-    # 5. ~20k-triangle mesh (stretch config scaled to what the current
-    # backends sustain; the 100k/4K target needs the round-2 binned/MXU
-    # battery — ARCHITECTURE.md "Measured accelerator verdicts")
+    # 5. mesh configs on the Pallas clustered-traversal kernel (accel=
+    # 'pallas', ops/pallas/traverse_kernel.py — 3.9-19x over brute on
+    # meshes, ARCHITECTURE.md round-2 section). 5a is the 20k proxy kept
+    # comparable with round 1's brute row; 5b is the true 100k-triangle
+    # spec geometry (the full 4K/256spp run lives in
+    # benchmarks/run_config5_4k.py -> config5_4k.jsonl).
     subdiv = 3 if q else 5  # 5 -> 20,480 tris
     w = 128 if q else 384
-    scene = builders.mesh_scene(w, w, subdivisions=subdiv)
-    pol = RendererPolicy(max_bounces=5, rays_per_chunk=65536)
+    scene = accel.with_pallas_clusters(builders.mesh_scene(w, w, subdivisions=subdiv))
+    pol = RendererPolicy(max_bounces=8, accel="pallas", pallas_tile_rays=256)
+    if q:
+        pol = RendererPolicy(
+            max_bounces=8, accel="pallas", pallas_tile_rays=64,
+            pallas_interpret=True, rays_per_chunk=16384,
+        )
     results.append(
-        measure(f"5. mesh {20 * 4**subdiv // 1000}k tris (brute)", scene, pol, w, w, 256, passes=2)
+        measure(f"5a. mesh {20 * 4**subdiv // 1000}k tris (pallas traversal)",
+                scene, pol, w, w, 256, passes=2)
     )
+    if not q:
+        scene = accel.with_pallas_clusters(builders.mesh_scene(w, w, uv_res=224))
+        results.append(
+            measure("5b. mesh 100k tris (pallas traversal)", scene, pol, w, w, 256, passes=2)
+        )
 
     print(json.dumps({"device": device, "results": results}, indent=2))
     if args.out:
         lines = [
             "# Benchmark sweep — BASELINE.json configs",
             "",
-            f"Device: `{device}`  (Mrays/s = in-kernel useful-ray counter)",
+            f"Device: `{device}`",
             "",
-            "| config | size | Mrays/s | Msamples/s | ms/pass | wall to target spp |",
-            "|---|---|---|---|---|---|",
+            "Mrays/s numerator = the in-kernel useful-ray counter "
+            "(render/renderer.py PathState.ray_count): closest-hit rays per "
+            "live bounce + valid NEE shadow rays. Cross-check: rays/pass / "
+            "(W*H) = useful rays per camera sample ~= avg path length x "
+            "(1 + shadow fraction); the `rays/sample` column makes the "
+            "numerator auditable.",
+            "",
+            "| config | size | Mrays/s | rays/sample | Msamples/s | ms/pass | wall to target spp |",
+            "|---|---|---|---|---|---|---|",
         ]
         for r in results:
+            w, h = (int(t) for t in r["size"].split("x"))
+            rps = round(r["rays_per_pass"] / (w * h), 2)
             lines.append(
-                f"| {r['config']} | {r['size']} | {r['Mrays_per_s']} | "
+                f"| {r['config']} | {r['size']} | {r['Mrays_per_s']} | {rps} | "
                 f"{r['Msamples_per_s']} | {r['ms_per_pass']} | "
                 f"{r['wall_to_target_s']} s @ {r['spp_target']}spp |"
             )
