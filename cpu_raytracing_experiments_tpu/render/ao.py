@@ -43,7 +43,7 @@ def _ao_pass(scene: Scene, policy: RendererPolicy, width: int, height: int,
         prev_pdf=jnp.zeros((npix,)), prev_delta=jnp.zeros((npix,), bool),
         alive=jnp.ones((npix,), bool), ray_count=jnp.uint32(0),
     )
-    p_off, n, t_quat, _, _, _, _ = _renderer._closest_hit_frame(
+    p_off, n, t_quat, _, _, _, _, _ = _renderer._closest_hit_frame(
         scene, state, tfar, prim_id, is_tri
     )
     hit = prim_id >= 0

@@ -86,7 +86,7 @@ def render_aovs(
             prev_pdf=jnp.zeros((npix,)), prev_delta=jnp.zeros((npix,), bool),
             alive=jnp.ones((npix,), bool), ray_count=jnp.uint32(0),
         )
-        _, n, _, _, mat_id, _, _ = _renderer._closest_hit_frame(
+        _, n, _, _, mat_id, _, _, _ = _renderer._closest_hit_frame(
             scene, state, tfar, prim_id, is_tri
         )
         albedo = scene.materials.albedo.gather(mat_id)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from ..core import rng, sampling
 from ..core.vec import Quat, Vec3
 from ..ops import closures, intersect
+from ..ops import gather as fast_gather
 from ..scene.scene import Scene
 from ..utils.config import RendererPolicy
 
@@ -155,16 +156,33 @@ def generate_camera_rays(
 
 def _closest_hit_frame(scene: Scene, state: PathState, tfar, prim_id, is_tri):
     """Closest-hit shading inputs (Renderer.hpp:169-214): hit point,
-    backface-flipped normal, tangent quat, local view vector, offset origin."""
+    backface-flipped normal, tangent quat, local view vector, offset origin.
+
+    All per-prim attributes ride ONE packed-table gather per geometry kind
+    (ops/gather.py): separate SoA column gathers cost ~2-3 ms each inside
+    the bounce loop on v5e and dominated the pass. The extras the emissive-
+    MIS stage needs (radius_sq / area) are fetched here for free and
+    returned in `prim_extra`."""
     safe_sphere = jnp.maximum(jnp.where(is_tri, 0, prim_id), 0)
     hit_pt = state.p + state.d * tfar
-    n_sphere = (hit_pt - scene.spheres.center.gather(safe_sphere)).normalize()
-    mat_id = scene.spheres.material_id[safe_sphere]
+    sp = scene.spheres
+    scx, scy, scz, s_rsq, s_mid = fast_gather.gather_cols(
+        safe_sphere, sp.center.x, sp.center.y, sp.center.z, sp.radius_sq,
+        sp.material_id,
+    )
+    n_sphere = (hit_pt - Vec3(scx, scy, scz)).normalize()
+    mat_id = s_mid.astype(jnp.int32)
+    prim_extra = {"radius_sq": s_rsq}
     if scene.triangles is not None:
         safe_tri = jnp.maximum(jnp.where(is_tri, prim_id, 0), 0)
-        n_tri = scene.triangles.normal.gather(safe_tri)
-        n = n_tri.where(is_tri, n_sphere)
-        mat_id = jnp.where(is_tri, scene.triangles.material_id[safe_tri], mat_id)
+        tg = scene.triangles
+        tnx, tny, tnz, t_mid, t_area = fast_gather.gather_cols(
+            safe_tri, tg.normal.x, tg.normal.y, tg.normal.z, tg.material_id,
+            tg.area,
+        )
+        n = Vec3(tnx, tny, tnz).where(is_tri, n_sphere)
+        mat_id = jnp.where(is_tri, t_mid.astype(jnp.int32), mat_id)
+        prim_extra["area"] = t_area
     else:
         n = n_sphere
     backface = n.dot(state.d) >= 0.0
@@ -183,7 +201,7 @@ def _closest_hit_frame(scene: Scene, state: PathState, tfar, prim_id, is_tri):
         ),
     )
     p_offset = hit_pt + n * eps
-    return p_offset, n, t, v_local, mat_id, backface, hit_pt
+    return p_offset, n, t, v_local, mat_id, backface, hit_pt, prim_extra
 
 
 def _closure_eval(policy, mat, l_local, v_local):
@@ -394,10 +412,27 @@ def _next_event_estimation(
 
     if n_sphere_lights > 0:
         sel_s = jnp.clip(selected, 0, n_sphere_lights - 1)
-        light_prim = scene.lights[sel_s]
         is_sphere_sel = selected < n_sphere_lights
-        lc = scene.spheres.center.gather(light_prim)
-        lr_sq = scene.spheres.radius_sq[light_prim]
+        # packed [L, 8] light table (prim id, center, r^2, emission) — built
+        # from loop-invariant scene fields, hoisted out of the bounce loop;
+        # ONE gather serves the whole sphere-light NEE stage (ops/gather.py)
+        sl = scene.lights
+        s_mid = scene.spheres.material_id[sl]
+        light_tbl = fast_gather.pack_table(
+            sl,
+            scene.spheres.center.x[sl],
+            scene.spheres.center.y[sl],
+            scene.spheres.center.z[sl],
+            scene.spheres.radius_sq[sl],
+            scene.materials.emission.x[s_mid],
+            scene.materials.emission.y[s_mid],
+            scene.materials.emission.z[s_mid],
+        )
+        lrow = fast_gather.gather_rows(light_tbl, sel_s)
+        light_prim = lrow[:, 0].astype(jnp.int32)
+        lc = Vec3(lrow[:, 1], lrow[:, 2], lrow[:, 3])
+        lr_sq = lrow[:, 4]
+        em_s = Vec3(lrow[:, 5], lrow[:, 6], lrow[:, 7])
         wc = lc - p_offset
         center_dist2 = wc.dot(wc)
         ok = (
@@ -415,7 +450,6 @@ def _next_event_estimation(
         dir_s, dist_s, pdf_s = sampling.sample_direction_to_sphere(
             wc, sin_theta_max2, center_dist, lr_sq, t_draw, s_draw
         )
-        em_s = scene.materials.emission.gather(scene.spheres.material_id[light_prim])
         l_dir = dir_s.where(ok, l_dir)
         l_dist = jnp.where(ok, dist_s, l_dist)
         l_pdf = jnp.where(ok, pdf_s, l_pdf)
@@ -424,14 +458,31 @@ def _next_event_estimation(
 
     if n_tri_lights > 0:
         sel_t = jnp.clip(selected - n_sphere_lights, 0, n_tri_lights - 1)
-        light_tri = scene.tri_lights[sel_t]
         is_tri_sel = selected >= n_sphere_lights
         tri = scene.triangles
-        v0 = tri.v0.gather(light_tri)
-        e1 = tri.e1.gather(light_tri)
-        e2 = tri.e2.gather(light_tri)
-        ln = tri.normal.gather(light_tri)
-        area = tri.area[light_tri]
+        # packed [L2, 17] tri-light table (idx, v0, e1, e2, n, area, em) —
+        # loop-invariant; one gather replaces 14 column gathers
+        tl = scene.tri_lights
+        t_mid = tri.material_id[tl]
+        tri_tbl = fast_gather.pack_table(
+            tl,
+            tri.v0.x[tl], tri.v0.y[tl], tri.v0.z[tl],
+            tri.e1.x[tl], tri.e1.y[tl], tri.e1.z[tl],
+            tri.e2.x[tl], tri.e2.y[tl], tri.e2.z[tl],
+            tri.normal.x[tl], tri.normal.y[tl], tri.normal.z[tl],
+            tri.area[tl],
+            scene.materials.emission.x[t_mid],
+            scene.materials.emission.y[t_mid],
+            scene.materials.emission.z[t_mid],
+        )
+        trow = fast_gather.gather_rows(tri_tbl, sel_t)
+        light_tri = trow[:, 0].astype(jnp.int32)
+        v0 = Vec3(trow[:, 1], trow[:, 2], trow[:, 3])
+        e1 = Vec3(trow[:, 4], trow[:, 5], trow[:, 6])
+        e2 = Vec3(trow[:, 7], trow[:, 8], trow[:, 9])
+        ln = Vec3(trow[:, 10], trow[:, 11], trow[:, 12])
+        area = trow[:, 13]
+        em_t = Vec3(trow[:, 14], trow[:, 15], trow[:, 16])
         # uniform point on triangle via sqrt warp
         su = jnp.sqrt(jnp.maximum(t_draw, 0.0))
         pt = v0 + e1 * (su * (1.0 - s_draw)) + e2 * (su * s_draw)
@@ -447,7 +498,6 @@ def _next_event_estimation(
             & ~(is_tri & (light_tri == prim_id))
             & (cos_light > 1e-6)
         )
-        em_t = scene.materials.emission.gather(tri.material_id[light_tri])
         l_dir = dir_t.where(ok, l_dir)
         l_dist = jnp.where(ok, dist - jnp.maximum(1e-4, dist * 3e-5), l_dist)
         l_pdf = jnp.where(ok, pdf_t, l_pdf)
@@ -495,11 +545,16 @@ def _emissive_hit(
     mat_id,
     tfar,
     v_local: Vec3,
+    em: Vec3 = None,
+    prim_extra: dict = None,
 ):
     """Emissive-primitive hit with MIS (Renderer.hpp:319-353). Distance to
     the light center is recovered with the law-of-cosines trick (:328-332)
-    so the previous ray origin isn't needed."""
-    em = scene.materials.emission.gather(mat_id)
+    so the previous ray origin isn't needed. `em` / `prim_extra` carry the
+    already-gathered material emission and per-prim radius_sq/area from the
+    closest-hit stage (one packed gather serves all stages)."""
+    if em is None:
+        em = scene.materials.emission.gather(mat_id)
     is_emissive = hit & (em.max_component() > FLT_EPSILON)
     n_sphere_lights = int(scene.lights.shape[0])
     n_tri_lights = 0 if scene.tri_lights is None else int(scene.tri_lights.shape[0])
@@ -516,16 +571,22 @@ def _emissive_hit(
         light_selection_pdf = _hit_light_selection_pdf(
             scene, policy, state, prim_id, is_tri, light_count
         )
-        safe_sphere = jnp.maximum(jnp.where(is_tri, 0, prim_id), 0)
-        radius2 = scene.spheres.radius_sq[safe_sphere]
+        if prim_extra is not None:
+            radius2 = prim_extra["radius_sq"]
+        else:
+            safe_sphere = jnp.maximum(jnp.where(is_tri, 0, prim_id), 0)
+            radius2 = scene.spheres.radius_sq[safe_sphere]
         n_dot_v = v_local.z
         center_dist2 = tfar * (tfar + n_dot_v * (2.0 * jnp.sqrt(radius2))) + radius2
         light_pdf = light_selection_pdf * sampling.sphere_pdf(
             radius2, jnp.maximum(center_dist2, 1e-20)
         )
         if n_tri_lights > 0:
-            safe_tri = jnp.maximum(jnp.where(is_tri, prim_id, 0), 0)
-            area = scene.triangles.area[safe_tri]
+            if prim_extra is not None and "area" in prim_extra:
+                area = prim_extra["area"]
+            else:
+                safe_tri = jnp.maximum(jnp.where(is_tri, prim_id, 0), 0)
+                area = scene.triangles.area[safe_tri]
             cos_light = jnp.abs(n_dot_v)  # |cos| at the light == local view z
             tri_pdf = light_selection_pdf * (tfar * tfar) / jnp.maximum(
                 area * cos_light, 1e-9
@@ -613,18 +674,34 @@ def bounce_step(scene, policy, accumulation, seeds, state: PathState) -> PathSta
 
         # ---- CLOSEST HIT (:169-214) ----
         with jax.named_scope("closest_hit"):
-            p_offset, n, t_quat, v_local, mat_id, backface, hit_pt = (
+            p_offset, n, t_quat, v_local, mat_id, backface, hit_pt, prim_extra = (
                 _closest_hit_frame(scene, state, tfar, prim_id, is_tri)
             )
-        rough = scene.materials.roughness[mat_id]
+        # one packed gather for every material attribute this bounce touches
+        # (emission included — _emissive_hit reads it from `mat`)
+        mt = scene.materials
+        mat_cols = [
+            mt.albedo.x, mt.albedo.y, mt.albedo.z,
+            mt.f0.x, mt.f0.y, mt.f0.z,
+            mt.emission.x, mt.emission.y, mt.emission.z,
+            mt.roughness,
+        ]
+        if policy.brdf == "principled":
+            mat_cols += [
+                mt.transmission.x, mt.transmission.y, mt.transmission.z,
+                mt.ior_minus_one,
+            ]
+        mv = fast_gather.gather_cols(mat_id, *mat_cols)
+        rough = mv[9]
         mat = {
-            "albedo": scene.materials.albedo.gather(mat_id),
-            "f0": scene.materials.f0.gather(mat_id),
+            "albedo": Vec3(mv[0], mv[1], mv[2]),
+            "f0": Vec3(mv[3], mv[4], mv[5]),
+            "emission": Vec3(mv[6], mv[7], mv[8]),
             "alpha": rough * rough,
         }
         if policy.brdf == "principled":
-            mat["transmission"] = scene.materials.transmission.gather(mat_id)
-            mat["ior"] = scene.materials.ior_minus_one[mat_id] + 1.0
+            mat["transmission"] = Vec3(mv[10], mv[11], mv[12])
+            mat["ior"] = mv[13] + 1.0
 
         radiance = state.radiance
 
@@ -641,7 +718,8 @@ def bounce_step(scene, policy, accumulation, seeds, state: PathState) -> PathSta
         # ---- EMISSIVE HIT (:319-353) ----
         with jax.named_scope("emissive_hit"):
             radiance = radiance + _emissive_hit(
-                scene, policy, state, hit, prim_id, is_tri, mat_id, tfar, v_local
+                scene, policy, state, hit, prim_id, is_tri, mat_id, tfar,
+                v_local, em=mat["emission"], prim_extra=prim_extra,
             )
 
         # ---- BRDF SAMPLE + RUSSIAN ROULETTE (:357-404) ----
