@@ -22,7 +22,11 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import functools
+import math
+
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..core import rng, sampling
@@ -652,6 +656,60 @@ def trace_rays(
     def body(state: PathState) -> PathState:
         return bounce_step(scene, policy, accumulation, seeds, state)
 
+    # Narrowing cascade: run full-width masked bounces until the live count
+    # fits 1/f of the launch width, then compact alive rays to the front
+    # (stable: survivors keep their screen-tile order, so traversal-tile
+    # coherence survives) and continue on the narrow array; repeat per
+    # stage. The reference compacts EVERY bounce (Renderer.hpp:357-404,
+    # 431); here one gather per stage replaces per-bounce scatters.
+    caps = []
+    if policy.narrow_wavefront and not vma_axes:
+        num_rays = shape[0]
+        for f in policy.narrow_factors:
+            cap = -(-(num_rays // f) // 2048) * 2048
+            if 0 < cap < (caps[-1] if caps else num_rays):
+                caps.append(cap)
+    if caps:
+        from ..ops.pallas.traverse_kernel import compact_order
+
+        cur, cur_seeds = init, seeds
+        scatters = []
+        for cap in caps:
+            def cond_s(state: PathState, cap=cap):
+                return (state.bounce < policy.max_bounces) & (
+                    jnp.sum(state.alive) > cap
+                )
+
+            def body_s(state: PathState, s=cur_seeds) -> PathState:
+                return bounce_step(scene, policy, accumulation, s, state)
+
+            mid = jax.lax.while_loop(cond_s, body_s, cur)
+            order, _ = compact_order(mid.alive)
+            idx = order[:cap]
+            wid = mid.p.x.shape[0]
+
+            def take(a, idx=idx, wid=wid):
+                if getattr(a, "ndim", 0) >= 1 and a.shape[0] == wid:
+                    return a[idx]
+                return a
+
+            scatters.append((idx, mid.radiance))
+            cur = jax.tree.map(take, mid)
+            cur_seeds = cur_seeds[idx]
+
+        def body_f(state: PathState) -> PathState:
+            return bounce_step(scene, policy, accumulation, cur_seeds, state)
+
+        fin = jax.lax.while_loop(cond, body_f, cur)
+        radiance = fin.radiance
+        for idx, prev_rad in reversed(scatters):
+            radiance = Vec3(
+                prev_rad.x.at[idx].set(radiance.x),
+                prev_rad.y.at[idx].set(radiance.y),
+                prev_rad.z.at[idx].set(radiance.z),
+            )
+        return radiance, fin.ray_count
+
     final = jax.lax.while_loop(cond, body, init)
     return final.radiance, final.ray_count
 
@@ -804,6 +862,31 @@ def bounce_step(scene, policy, accumulation, seeds, state: PathState) -> PathSta
         )
 
 
+@functools.lru_cache(maxsize=32)
+def _tile_pixel_order_np(width: int, npix: int, tile: int = 16):
+    """Static position->pixel permutation visiting 16x16 screen tiles in
+    raster order, raster within each tile — the reference's tile
+    decomposition (Renderer.hpp:75) as a ray-processing ORDER. Each
+    traversal-kernel tile of 256 rays then covers one compact screen block,
+    so bounce origins cluster tightly in world space and tile-level culling
+    survives past the primary hit. Returns None when the flat range is not
+    a whole number of scanlines (odd shard slices fall back to raster)."""
+    if npix % width:
+        return None
+    height = npix // width
+    xs = np.arange(npix, dtype=np.int64) % width
+    ys = np.arange(npix, dtype=np.int64) // width
+    tiles_x = -(-width // tile)
+    key = ((ys // tile) * tiles_x + (xs // tile)) * (tile * tile) \
+        + (ys % tile) * tile + (xs % tile)
+    return np.argsort(key, kind="stable").astype(np.uint32)
+
+
+def tile_pixel_order(width: int, npix: int, tile: int = 16):
+    perm = _tile_pixel_order_np(width, npix, tile)
+    return None if perm is None else jnp.asarray(perm)
+
+
 def render_pass(
     scene: Scene,
     policy: RendererPolicy,
@@ -827,7 +910,17 @@ def render_pass(
     spp = policy.samples_per_pixel
     nrays = npix * spp
     ray = jnp.arange(nrays, dtype=jnp.uint32)
-    i = jnp.asarray(pixel_start, jnp.uint32) + ray // jnp.uint32(spp)
+    if policy.ray_order == "tile":
+        # pixel-block edge matched to the traversal-kernel tile: one kernel
+        # tile of pallas_tile_rays rays covers one square screen block
+        edge = max(8, int(math.isqrt(max(policy.pallas_tile_rays, 64))))
+        perm_np = _tile_pixel_order_np(width, npix, edge)
+    else:
+        perm_np = None
+    perm = None if perm_np is None else jnp.asarray(perm_np)
+    pos = ray // jnp.uint32(spp)
+    local = perm[pos] if perm is not None else pos
+    i = jnp.asarray(pixel_start, jnp.uint32) + local
     sample = ray % jnp.uint32(spp)
     x = (i % jnp.uint32(width)).astype(jnp.int32)
     y = (i // jnp.uint32(width)).astype(jnp.int32)
@@ -875,4 +968,8 @@ def render_pass(
             flat.y.reshape(npix, spp).sum(axis=1),
             flat.z.reshape(npix, spp).sum(axis=1),
         )
+    if perm is not None:
+        # back to raster pixel order (gather by the inverse permutation)
+        inv = jnp.asarray(np.argsort(perm_np).astype(np.uint32))
+        flat = Vec3(flat.x[inv], flat.y[inv], flat.z[inv])
     return flat, count
