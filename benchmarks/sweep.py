@@ -38,11 +38,14 @@ def measure(name, scene, policy, width, height, spp_target, passes=10):
     state = estimator.RenderState.create(width, height, policy)
     state = run(scene, state)
     jax.block_until_ready(state)
-    state2 = estimator.RenderState.create(width, height, policy)
-    t0 = time.perf_counter()
-    state2 = run(scene, state2)
-    jax.block_until_ready(state2)
-    dt = time.perf_counter() - t0
+    dt = 1e30  # best of 3 (the axon tunnel adds noisy multi-ms latency)
+    for _ in range(3):
+        state2 = estimator.RenderState.create(width, height, policy)
+        jax.block_until_ready(state2)
+        t0 = time.perf_counter()
+        state2 = run(scene, state2)
+        jax.block_until_ready(state2)
+        dt = min(dt, time.perf_counter() - t0)
     per_pass = dt / passes
     return {
         "config": name,
@@ -132,12 +135,12 @@ def main():
         )
     results.append(
         measure(f"5a. mesh {20 * 4**subdiv // 1000}k tris (pallas traversal)",
-                scene, pol, w, w, 256, passes=2)
+                scene, pol, w, w, 256, passes=5)
     )
     if not q:
         scene = accel.with_pallas_clusters(builders.mesh_scene(w, w, uv_res=224))
         results.append(
-            measure("5b. mesh 100k tris (pallas traversal)", scene, pol, w, w, 256, passes=2)
+            measure("5b. mesh 100k tris (pallas traversal)", scene, pol, w, w, 256, passes=5)
         )
 
     print(json.dumps({"device": device, "results": results}, indent=2))

@@ -663,7 +663,19 @@ def trace_rays(
     # stage. The reference compacts EVERY bounce (Renderer.hpp:357-404,
     # 431); here one gather per stage replaces per-bounce scatters.
     caps = []
-    if policy.narrow_wavefront and not vma_axes:
+    nw = policy.narrow_wavefront
+    if nw == "auto":
+        nprims = int(scene.spheres.center.x.shape[0]) if scene.spheres else 0
+        if scene.triangles is not None:
+            nprims += int(scene.triangles.v0.x.shape[0])
+        # engage only when the per-ray bounce cost is high enough to beat
+        # the compaction overhead: measured on v5e, 1k-sphere brute 42->28
+        # ms/pass and 20k-tri pallas 184->~90 ms/pass WIN, while the
+        # 9-sphere DoF scene at 1080p LOSES 22->110 ms/pass on pure
+        # overhead (cumsum/scatter/gather chains per chunk).
+        nw = nprims >= 64 or policy.effective_accel == "pallas"
+    
+    if nw and not vma_axes:
         num_rays = shape[0]
         for f in policy.narrow_factors:
             cap = -(-(num_rays // f) // 2048) * 2048
@@ -910,7 +922,10 @@ def render_pass(
     spp = policy.samples_per_pixel
     nrays = npix * spp
     ray = jnp.arange(nrays, dtype=jnp.uint32)
-    if policy.ray_order == "tile":
+    ray_order = policy.ray_order
+    if ray_order == "auto":
+        ray_order = "tile" if policy.effective_accel == "pallas" else "raster"
+    if ray_order == "tile":
         # pixel-block edge matched to the traversal-kernel tile: one kernel
         # tile of pallas_tile_rays rays covers one square screen block
         edge = max(8, int(math.isqrt(max(policy.pallas_tile_rays, 64))))

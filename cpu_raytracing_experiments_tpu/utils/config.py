@@ -56,21 +56,28 @@ class RendererPolicy:
     # dead lanes' clusters without reordering — see ARCHITECTURE.md)
     pallas_interpret: bool = False  # run the kernel in the Pallas interpreter
     # (CPU CI only; compiled Mosaic on TPU)
-    ray_order: str = "tile"  # 'tile' | 'raster': process rays in 16x16
+    ray_order: str = "auto"  # 'auto' | 'tile' | 'raster': process rays in 16x16
     # pixel-tile order (the reference's tile decomposition, Renderer.hpp:75)
     # so each Pallas traversal tile sees a compact screen footprint — bounce
     # origins then cluster tightly and tile-level culling keeps working off
     # the primary hit. A static position->pixel permutation at raygen + one
     # gather at pass end; RNG is keyed by pixel id, so renders are
-    # bit-identical either way.
+    # bit-identical either way. 'auto' = 'tile' for accel='pallas' (where
+    # traversal-tile coherence pays), 'raster' otherwise (the permutation
+    # gathers are pure overhead for the dense battery).
     median: bool = True  # #define MEDIAN true (median vs average resolve)
-    narrow_wavefront: bool = True  # two-phase bounce loop: once the live-ray
+    narrow_wavefront: object = "auto"  # True | False | 'auto': two-phase bounce
+    # loop — once the live-ray
     # count fits in 1/narrow_factor of the launch width, compact alive rays
     # to the front (stable -> screen-tile coherence survives) and finish the
     # tail bounces on the narrow array. The reference compacts EVERY bounce
     # (Renderer.hpp:357-404, 431); on TPU per-bounce scatters cost more than
     # masked-dense math, but the late-bounce tail (alive ~1-2% of lanes by
     # bounce 3, measured) still pays full-width plan/shade cost without this.
+    # 'auto' engages when the compaction overhead is measured to pay for
+    # itself: wide launches (>= 2^19 rays), expensive batteries (>= 64
+    # prims), or the pallas traversal backend; small cheap scenes (hero,
+    # cornell) measured ~3 ms/pass SLOWER with narrowing and skip it.
     narrow_factors: tuple = (4, 32)  # cascade of narrow widths (launch
     # width divided by each factor in turn; a stage engages once the live
     # count fits). (4, 32) measured best on the mesh configs: 71.6 -> ~40
