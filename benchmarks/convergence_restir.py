@@ -1,0 +1,87 @@
+"""ReSTIR convergence study: MSE vs spp on a MANY-LIGHT scene.
+
+ReSTIR's value shows when the light count overwhelms per-pass candidate
+budgets: uniform NEE picks 1 of L lights blindly, RIS resamples M=4
+candidates, ReSTIR additionally reuses each pixel's reservoir across
+passes (temporal) and across neighbors (spatial), so the effective
+candidate count grows over time at fixed per-pass cost.
+
+Scene: 400-sphere field with ~12% emissive (~50 lights). Appends a table
+to benchmarks/CONVERGENCE.md. Run on TPU (a few minutes).
+"""
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import dataclasses
+
+import numpy as np
+
+
+def main():
+    from cpu_raytracing_experiments_tpu.render.api import Renderer
+    from cpu_raytracing_experiments_tpu.scene import builders
+    from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+
+    W = H = 192
+    scene = builders.random_spheres_scene(
+        W, H, num_spheres=400, emissive_fraction=0.12, seed=77
+    )
+    n_lights = int(scene.lights.shape[0])
+    base = RendererPolicy(max_bounces=6)
+
+    def render_hdr(pol, spp):
+        r = Renderer(scene, pol, W, H)
+        remaining = -(-spp // 5) * 5
+        while remaining:
+            step = min(500, remaining)
+            r.accumulate(step)
+            remaining -= step
+        return r.render(tonemap=False)
+
+    t0 = time.time()
+    truth = render_hdr(dataclasses.replace(base, light_sampling="power"), 8000)
+    print(f"truth 8000 spp in {time.time()-t0:.0f}s, lights={n_lights}", flush=True)
+
+    configs = {
+        "uniform (reference semantics)": base,
+        "ris M=4": dataclasses.replace(base, light_sampling="ris"),
+        "restir temporal+spatial": dataclasses.replace(
+            base, light_sampling="restir"
+        ),
+        "restir temporal only": dataclasses.replace(
+            base, light_sampling="restir", restir_spatial=0
+        ),
+    }
+
+    def mse(img):
+        d = np.clip(img, 0, 50) - np.clip(truth, 0, 50)
+        return float(np.mean(d * d))
+
+    rows = []
+    for spp in (10, 50, 250):
+        for name, pol in configs.items():
+            img = render_hdr(pol, spp)
+            rows.append((name, spp, mse(img)))
+            print(f"{name} @ {spp}spp: MSE {rows[-1][2]:.4e}", flush=True)
+
+    out = Path(__file__).parent / "CONVERGENCE.md"
+    with out.open("a") as fh:
+        fh.write(
+            f"\n\n## ReSTIR on a many-light scene ({n_lights} sphere lights, "
+            f"400-sphere field, {W}x{H}, MSE vs 8k-spp truth)\n\n"
+            "Temporal reuse carries each pixel's light reservoir across\n"
+            "accumulation passes; spatial reuse merges neighbor reservoirs\n"
+            "(CombineReservoirs, reference Sampling.hpp:56-73 - shipped\n"
+            "dormant there, wired here as light_sampling='restir').\n\n"
+            "| config | spp | MSE |\n|---|---|---|\n"
+        )
+        for name, spp, m in rows:
+            fh.write(f"| {name} | {spp} | {m:.3e} |\n")
+    print("appended to", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -156,13 +156,20 @@ def _make_plan_kernel(c_real: int, tile_r: int):
         slabs = refs[:6]
         (px, py, pz, dx, dy, dz, tf, valid) = refs[6:14]
         out = refs[14]
-        for i in range(8):
-            s = slice(i * tile_r, (i + 1) * tile_r)
+
+        def body(i, _):
+            s = pl.ds(i * tile_r, tile_r)
             ok = valid[s, :] > 0
-            out[i : i + 1, :] = _tile_entry_row(
+            out[pl.ds(i, 1), :] = _tile_entry_row(
                 slabs, px[s, :], py[s, :], pz[s, :], dx[s, :], dy[s, :],
                 dz[s, :], tf[s, :], ok, c_real,
             )
+            return 0
+
+        # fori (not unrolled): Mosaic reuses the body's VMEM stack — the
+        # unrolled form held 8 tiles of slab temporaries live at once and
+        # blew the 16 MB scoped-vmem limit at Cp=896 (100k tris, 4K chunks)
+        jax.lax.fori_loop(0, 8, body, 0)
 
     return kernel
 

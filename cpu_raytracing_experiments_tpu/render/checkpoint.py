@@ -33,12 +33,18 @@ def policy_fingerprint(policy: RendererPolicy, width: int, height: int) -> str:
 
 def save(path, state: RenderState, policy: RendererPolicy, width: int, height: int):
     """Serialize render state to a single .npz."""
+    extra = {}
+    if state.reservoir is not None:
+        # ReSTIR per-pixel reservoirs: part of the resumable state so a
+        # resumed render continues bit-exactly
+        extra["reservoir"] = np.asarray(state.reservoir)
     np.savez_compressed(
         path,
         version=FORMAT_VERSION,
         buckets=np.asarray(state.buckets),
         accumulations=np.asarray(state.accumulations),
         fingerprint=policy_fingerprint(policy, width, height),
+        **extra,
     )
 
 
@@ -58,6 +64,9 @@ def load(path, policy: RendererPolicy, width: int, height: int) -> RenderState:
         return RenderState(
             buckets=jnp.asarray(z["buckets"]),
             accumulations=jnp.uint32(z["accumulations"]),
+            reservoir=(
+                jnp.asarray(z["reservoir"]) if "reservoir" in z else None
+            ),
         )
 
 

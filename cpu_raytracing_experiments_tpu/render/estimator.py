@@ -32,10 +32,26 @@ def _pytree_dataclass(cls):
 
 @_pytree_dataclass
 class RenderState:
-    """buckets: [B, 3, npix] f32; accumulations: u32 scalar."""
+    """buckets: [B, 3, npix] f32; accumulations: u32 scalar; reservoir:
+    optional [3, npix] f32 ReSTIR per-pixel light reservoirs (light index
+    as float, -1 = empty; contribution weight W; candidate count) carried
+    across accumulation passes when policy.light_sampling='restir'. Any
+    reset (scene edit / resize) clears the history, preserving the
+    UpdateTracker invalidation semantics (Application.cpp:343-358)."""
 
     buckets: jnp.ndarray
     accumulations: jnp.ndarray
+    reservoir: jnp.ndarray = None
+
+    @staticmethod
+    def _empty_reservoir(npix: int):
+        return jnp.concatenate(
+            [
+                jnp.full((1, npix), -1.0, jnp.float32),
+                jnp.zeros((2, npix), jnp.float32),
+            ],
+            axis=0,
+        )
 
     @staticmethod
     def create(width: int, height: int, policy: RendererPolicy) -> "RenderState":
@@ -44,6 +60,11 @@ class RenderState:
                 (policy.accumulation_buckets, 3, width * height), jnp.float32
             ),
             accumulations=jnp.uint32(0),
+            reservoir=(
+                RenderState._empty_reservoir(width * height)
+                if policy.light_sampling == "restir"
+                else None
+            ),
         )
 
     def reset(self) -> "RenderState":
@@ -51,6 +72,11 @@ class RenderState:
         return RenderState(
             buckets=jnp.zeros_like(self.buckets),
             accumulations=jnp.uint32(0),
+            reservoir=(
+                None
+                if self.reservoir is None
+                else RenderState._empty_reservoir(self.reservoir.shape[1])
+            ),
         )
 
 
@@ -64,12 +90,19 @@ def accumulate(
     """One progressive sample per pixel into the current bucket
     (Renderer.hpp:73-84: ++accumulations, bucket = accumulations % B)."""
     acc = state.accumulations + jnp.uint32(1)
-    rad, _ = _renderer.render_pass(scene, policy, acc, width, height)
+    res_out = state.reservoir
+    if policy.light_sampling == "restir" and state.reservoir is not None:
+        rad, _, res_out = _renderer.render_pass(
+            scene, policy, acc, width, height, restir_in=state.reservoir
+        )
+    else:
+        rad, _ = _renderer.render_pass(scene, policy, acc, width, height)
     bucket = (acc % jnp.uint32(policy.accumulation_buckets)).astype(jnp.int32)
     sample = jnp.stack([rad.x, rad.y, rad.z], axis=0)
     return RenderState(
         buckets=state.buckets.at[bucket].add(sample),
         accumulations=acc,
+        reservoir=res_out,
     )
 
 

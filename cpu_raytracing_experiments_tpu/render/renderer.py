@@ -363,6 +363,82 @@ def _select_light_ris(scene, policy, point: Vec3, site, light_count):
     return site, jnp.where(ok, sel, 0), big_w
 
 
+def _select_light_restir(scene, policy, point: Vec3, site, light_count, res_in):
+    """ReSTIR-style light selection: a fresh M-candidate RIS reservoir is
+    merged with the pixel's temporal reservoir (previous accumulation pass)
+    and `restir_spatial` neighbor reservoirs, all re-weighted by the target
+    p_hat AT THE CURRENT shading point (CombineReservoirs semantics,
+    /root/reference/Sampling.hpp:56-73 — the reference ships the building
+    block but never calls it). Unbiased for the unshadowed target because
+    the final contribution weight W = wsum / (count * p_hat(sel)) is
+    computed against the current point's p_hat; visibility is resolved by
+    the per-pass shadow ray as usual.
+
+    res_in/res_out: (sample [R] i32 (-1=empty), W [R] f32, count [R] f32),
+    aligned to the CURRENT ray-array order.
+    Returns (site, selected, W_sel, res_out)."""
+    w_table = _light_selection_weights(scene, point)  # [R, L] p_hat, current pt
+    shape = point.x.shape
+    m = jnp.float32(RIS_CANDIDATES)
+
+    def p_hat(cand):
+        return jnp.take_along_axis(
+            w_table, jnp.maximum(cand, 0)[:, None], axis=1
+        )[:, 0]
+
+    # fresh RIS reservoir: streaming weights w = p_hat / p_src = p_hat * L
+    sel = jnp.full(shape, -1, jnp.int32)
+    wsum = jnp.zeros(shape, jnp.float32)
+    for _ in range(RIS_CANDIDATES):
+        site, u_cand = rng.rand_unit_float(site)
+        cand = jnp.minimum(
+            jnp.uint32(light_count - 1),
+            (u_cand * jnp.float32(light_count)).astype(jnp.uint32),
+        ).astype(jnp.int32)
+        w = p_hat(cand) * jnp.float32(light_count)
+        wsum = wsum + w
+        site, u_res = rng.rand_unit_float(site)
+        sel = jnp.where(u_res < (w / jnp.maximum(wsum, 1e-30)), cand, sel)
+    cnt = jnp.full(shape, m)
+
+    # candidate reservoirs: temporal (same lane) + spatial neighbors in
+    # ray-array order (with tile order: within the 16x16 screen block)
+    s_in, w_in, c_in = res_in
+    cands = [(s_in, w_in, c_in)]
+    num = s_in.shape[0]
+    lane = jnp.arange(num, dtype=jnp.int32)
+    radius = jnp.int32(policy.restir_radius)
+    for _ in range(policy.restir_spatial):
+        site, u_off = rng.rand_unit_float(site)
+        off = (u_off * (2.0 * radius + 1.0)).astype(jnp.int32) - radius
+        idx = jnp.clip(lane + off, 0, num - 1)
+        cands.append((s_in[idx], w_in[idx], c_in[idx]))
+
+    cap = m * jnp.float32(policy.restir_temporal_cap)
+    for s_q, w_q, c_q in cands:
+        c_q = jnp.minimum(c_q, cap)
+        ok_q = s_q >= 0
+        w = jnp.where(ok_q, p_hat(s_q) * w_q * c_q, 0.0)
+        wsum = wsum + w
+        site, u_res = rng.rand_unit_float(site)
+        sel = jnp.where(
+            (u_res < (w / jnp.maximum(wsum, 1e-30))) & ok_q, s_q, sel
+        )
+        cnt = cnt + jnp.where(ok_q, c_q, 0.0)
+
+    ok = sel >= 0
+    p_sel = p_hat(sel)
+    big_w = jnp.where(
+        ok & (p_sel > 0.0), wsum / (cnt * jnp.maximum(p_sel, 1e-30)), 0.0
+    )
+    res_out = (
+        jnp.where(ok, sel, -1),
+        big_w,
+        jnp.minimum(cnt, cap),
+    )
+    return site, jnp.where(ok, sel, 0), big_w, res_out
+
+
 def _next_event_estimation(
     scene: Scene,
     policy: RendererPolicy,
@@ -376,6 +452,7 @@ def _next_event_estimation(
     t_quat: Quat,
     v_local: Vec3,
     mat: dict,
+    restir_in=None,
 ):
     """NEE with MIS (Renderer.hpp:247-314): pick one light uniformly,
     cone-sample sphere lights / area-sample triangle lights, trace a shadow
@@ -388,14 +465,24 @@ def _next_event_estimation(
     n_tri_lights = 0 if scene.tri_lights is None else int(scene.tri_lights.shape[0])
     light_count = n_sphere_lights + n_tri_lights
     if light_count == 0:
-        return Vec3.zeros(state.p.x.shape), jnp.zeros_like(hit)
+        return Vec3.zeros(state.p.x.shape), jnp.zeros_like(hit), None
     site = _site_state(
         accumulation,
         seeds + jnp.uint32(2) * state.bounce.astype(jnp.uint32),
         policy,
     )
     site, (t_draw, s_draw) = rng.draws(site, 2)
-    if policy.light_sampling == "ris" and light_count > 1:
+    restir_out = None
+    if (
+        policy.light_sampling == "restir"
+        and restir_in is not None
+        and light_count > 1
+    ):
+        site, selected, ris_w, restir_out = _select_light_restir(
+            scene, policy, p_offset, site, light_count, restir_in
+        )
+        light_selection_pdf = None
+    elif policy.light_sampling in ("ris", "restir") and light_count > 1:
         site, selected, ris_w = _select_light_ris(
             scene, policy, p_offset, site, light_count
         )
@@ -536,7 +623,7 @@ def _next_event_estimation(
         accel=policy.effective_accel, policy=policy,
     )
     contribution = shadow_radiance.where(valid & ~occluded, Vec3.zeros(zeros.shape))
-    return contribution, valid
+    return contribution, valid, restir_out
 
 
 def _emissive_hit(
@@ -563,7 +650,7 @@ def _emissive_hit(
     n_sphere_lights = int(scene.lights.shape[0])
     n_tri_lights = 0 if scene.tri_lights is None else int(scene.tri_lights.shape[0])
     light_count = n_sphere_lights + n_tri_lights
-    if policy.light_sampling == "ris" and light_count > 1:
+    if policy.light_sampling in ("ris", "restir") and light_count > 1:
         # NEE-only direct lighting: BRDF-sampled emission would double-count
         # except where NEE cannot reach (camera hits, delta bounces)
         weight = jnp.where(
@@ -615,10 +702,14 @@ def trace_rays(
     p0: Vec3,
     d0: Vec3,
     vma_axes: tuple = (),
+    res_in=None,
 ) -> Vec3:
     """Run the full bounce loop for a batch of primary rays; returns per-ray
-    radiance. This is the body the reference runs per 256-ray tile stream
-    (Renderer.hpp:131-432), expressed as one masked while_loop."""
+    radiance (plus, when `res_in` reservoirs are given for
+    light_sampling='restir', the updated reservoirs). This is the body the
+    reference runs per 256-ray tile stream (Renderer.hpp:131-432),
+    expressed as one masked while_loop; for ReSTIR the primary bounce is
+    peeled out of the loop so reservoir reuse touches only bounce 0."""
     shape = p0.x.shape
     # derive init arrays from the ray inputs so they inherit device-varying
     # status under shard_map (required for while_loop carry type stability)
@@ -649,6 +740,13 @@ def trace_rays(
             return jax.lax.pvary(a, missing)
 
         init = jax.tree.map(_pvary, init)
+
+    res_out = None
+    if res_in is not None and policy.light_sampling == "restir":
+        # peel the primary bounce: reservoir merge/reuse happens here only
+        init, res_out = bounce_step(
+            scene, policy, accumulation, seeds, init, restir_in=res_in
+        )
 
     def cond(state: PathState):
         return (state.bounce < policy.max_bounces) & jnp.any(state.alive)
@@ -720,13 +818,18 @@ def trace_rays(
                 prev_rad.y.at[idx].set(radiance.y),
                 prev_rad.z.at[idx].set(radiance.z),
             )
+        if res_in is not None:
+            return radiance, fin.ray_count, res_out
         return radiance, fin.ray_count
 
     final = jax.lax.while_loop(cond, body, init)
+    if res_in is not None:
+        return final.radiance, final.ray_count, res_out
     return final.radiance, final.ray_count
 
 
-def bounce_step(scene, policy, accumulation, seeds, state: PathState) -> PathState:
+def bounce_step(scene, policy, accumulation, seeds, state: PathState,
+                restir_in=None):
     """One wavefront bounce — the loop body of Renderer::Accumulate's bounce
     loop (Renderer.hpp:131-432). `state.bounce` may be a scalar (uniform
     wavefront, trace_rays) or a per-lane vector (pooled wavefront with ray
@@ -777,11 +880,13 @@ def bounce_step(scene, policy, accumulation, seeds, state: PathState) -> PathSta
 
         # ---- NEE + SHADOW (:247-314) ----
         shadow_traced = jnp.zeros_like(hit)
+        restir_out = None
         if policy.mis:
             with jax.named_scope("nee_shadow"):
-                nee, shadow_traced = _next_event_estimation(
+                nee, shadow_traced, restir_out = _next_event_estimation(
                     scene, policy, state, accumulation, seeds, hit, prim_id,
                     is_tri, p_offset, t_quat, v_local, mat,
+                    restir_in=restir_in,
                 )
                 radiance = radiance + nee
 
@@ -861,7 +966,7 @@ def bounce_step(scene, policy, accumulation, seeds, state: PathState) -> PathSta
             jnp.sum(state.alive.astype(jnp.uint32))
             + jnp.sum(shadow_traced.astype(jnp.uint32))
         )
-        return PathState(
+        out = PathState(
             bounce=state.bounce + 1,
             p=p_next_origin.where(alive_next, state.p),
             d=world_dir.where(alive_next, state.d),
@@ -872,6 +977,9 @@ def bounce_step(scene, policy, accumulation, seeds, state: PathState) -> PathSta
             alive=alive_next,
             ray_count=state.ray_count + rays_this_bounce,
         )
+        if restir_in is not None:
+            return out, restir_out
+        return out
 
 
 @functools.lru_cache(maxsize=32)
@@ -908,6 +1016,7 @@ def render_pass(
     pixel_start=0,
     npix: int = None,
     vma_axes: tuple = (),
+    restir_in=None,
 ) -> Vec3:
     """One progressive sample for a contiguous flat-pixel range: returns
     radiance Vec3 with [npix] flat arrays (row 0 = bottom scanline, as in
@@ -916,7 +1025,12 @@ def render_pass(
     keeping seeds identical to a single-device render.
 
     Rays are processed in `policy.rays_per_chunk` microbatches via lax.map —
-    the HBM-scale analog of the reference's 256-ray L1-resident tiles."""
+    the HBM-scale analog of the reference's 256-ray L1-resident tiles.
+
+    `restir_in` ([3, npix] f32: light index (-1=empty), W, count — raster
+    pixel order) enables ReSTIR temporal/spatial reuse when
+    policy.light_sampling='restir'; the return becomes
+    (flat, count, restir_out [3, npix])."""
     if npix is None:
         npix = width * height
     spp = policy.samples_per_pixel
@@ -948,27 +1062,51 @@ def render_pass(
     def pad(a):
         return jnp.pad(a, (0, padded - nrays))
 
+    use_restir = restir_in is not None and policy.light_sampling == "restir"
+    if use_restir:
+        # reservoirs per ray position: gather the pixel's reservoir
+        res_pos = (
+            restir_in[0][local].astype(jnp.int32),
+            pad(restir_in[1][local]).reshape(-1, chunk),
+            pad(restir_in[2][local]).reshape(-1, chunk),
+        )
+        res_pos = (
+            jnp.pad(res_pos[0], (0, padded - nrays), constant_values=-1
+                    ).reshape(-1, chunk),
+            res_pos[1],
+            res_pos[2],
+        )
     xs = (pad(x).reshape(-1, chunk), pad(y).reshape(-1, chunk), pad(seeds).reshape(-1, chunk))
+    if use_restir:
+        xs = xs + res_pos
 
     def chunk_fn(args):
-        cx, cy, cseed = args
+        cx, cy, cseed = args[:3]
         p0, d0 = generate_camera_rays(
             scene.camera, cx, cy, accumulation, cseed, policy.enable_dof, policy
         )
-        return trace_rays(scene, policy, accumulation, cseed, p0, d0, vma_axes)
+        res = tuple(args[3:]) if use_restir else None
+        return trace_rays(scene, policy, accumulation, cseed, p0, d0, vma_axes,
+                          res_in=res)
 
+    res_flat = None
     if padded == chunk:
-        rad, count = chunk_fn((xs[0][0], xs[1][0], xs[2][0]))
-        count = jnp.asarray(count)
+        out = chunk_fn(tuple(a[0] for a in xs))
+        rad, count = out[0], jnp.asarray(out[1])
         flat = Vec3(rad.x[:nrays], rad.y[:nrays], rad.z[:nrays])
+        if use_restir:
+            res_flat = tuple(a[:nrays] for a in out[2])
     else:
-        rad, counts = jax.lax.map(chunk_fn, xs)
+        out = jax.lax.map(chunk_fn, xs)
+        rad, counts = out[0], out[1]
         count = jnp.sum(counts)
         flat = Vec3(
             rad.x.reshape(-1)[:nrays],
             rad.y.reshape(-1)[:nrays],
             rad.z.reshape(-1)[:nrays],
         )
+        if use_restir:
+            res_flat = tuple(a.reshape(-1)[:nrays] for a in out[2])
     if policy.clamp_radiance:
         # live version of the reference's dormant max_radiance knob
         m = jnp.float32(policy.max_radiance)
@@ -983,8 +1121,18 @@ def render_pass(
             flat.y.reshape(npix, spp).sum(axis=1),
             flat.z.reshape(npix, spp).sum(axis=1),
         )
+    inv = None
     if perm is not None:
         # back to raster pixel order (gather by the inverse permutation)
         inv = jnp.asarray(np.argsort(perm_np).astype(np.uint32))
         flat = Vec3(flat.x[inv], flat.y[inv], flat.z[inv])
+    if use_restir:
+        # reservoirs back to per-pixel raster order (first sample per pixel)
+        rs = [a.reshape(npix, spp)[:, 0] if spp > 1 else a for a in res_flat]
+        if inv is not None:
+            rs = [a[inv] for a in rs]
+        restir_out = jnp.stack(
+            [rs[0].astype(jnp.float32), rs[1], rs[2]], axis=0
+        )
+        return flat, count, restir_out
     return flat, count

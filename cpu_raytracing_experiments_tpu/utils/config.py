@@ -42,6 +42,10 @@ class RendererPolicy:
     # (Renderer.hpp:260); unbiased (exact selection pdf feeds the same MIS)
     # | 'ris' — M-candidate resampled importance sampling (the reference's
     # dormant ReSTIR hook, Sampling.hpp:25-73); NEE-only direct light
+    # | 'restir' — RIS + ReSTIR-style temporal reuse (per-pixel reservoir
+    # carried across accumulation passes) and spatial reuse (neighbor
+    # reservoirs combined, Sampling.hpp:56-73 CombineReservoirs) on the
+    # PRIMARY hit; secondary bounces fall back to plain RIS
     use_bvh: bool = False  # #define USEBVH false (reference ships brute force)
     accel: str = "brute"  # 'brute' | 'bvh' (threaded) | 'grid' (DDA) |
     # 'clustered' (morton clusters + lax.cond-skipped dense batteries) |
@@ -102,6 +106,12 @@ class RendererPolicy:
     # sky/occlusion lighting (visible in many-sphere scenes; the reference
     # has the same artifact). False = bit-parity with the reference;
     # True = scrambled, banding-free.
+    restir_temporal_cap: int = 20  # temporal reservoir count clamp, in units
+    # of RIS_CANDIDATES (the standard M-cap keeping stale history bounded)
+    restir_spatial: int = 2  # spatial neighbor reservoirs merged per pass
+    restir_radius: int = 32  # neighbor offset radius IN RAY-ARRAY ORDER
+    # (with ray_order='tile' this is within a 16x16 screen block; with
+    # raster order it is along the scanline)
     enable_dof: bool = False  # thin-lens depth of field: the reference declares
     # aperture/focus (Camera.hpp:17-26) but never uses them in generate_ray;
     # we implement real DoF behind this switch
@@ -121,7 +131,9 @@ class RendererPolicy:
     def __post_init__(self):
         assert self.brdf in ("lambertian", "ggx", "principled"), self.brdf
         assert self.accel in ("brute", "bvh", "grid", "clustered", "pallas"), self.accel
-        assert self.light_sampling in ("uniform", "power", "ris"), self.light_sampling
+        assert self.light_sampling in (
+            "uniform", "power", "ris", "restir"
+        ), self.light_sampling
         assert self.accumulation_buckets % 2 == 1, "median needs odd buckets"
 
 
