@@ -8,6 +8,7 @@ from functools import partial
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..scene.scene import Scene
@@ -23,6 +24,13 @@ def _accumulate_n_jit(scene, policy, state, width, height, n):
 @partial(jax.jit, static_argnames=("policy", "width", "height", "tonemap"))
 def _resolve_jit(state, policy, exposure, width, height, tonemap):
     return estimator.resolve(state, policy, exposure, width, height, tonemap)
+
+
+@partial(jax.jit, static_argnames=("policy", "width", "height"), donate_argnames=("state",))
+def _accumulate_pixels_jit(scene, policy, state, width, height, pixel_ids, valid):
+    return estimator.accumulate_pixels(
+        scene, policy, state, width, height, pixel_ids, valid
+    )
 
 
 class Renderer:
@@ -121,6 +129,88 @@ class Renderer:
             if se < tol:
                 break
         return self.render(tonemap=tonemap)
+
+    def render_adaptive(
+        self,
+        tol: float,
+        max_spp: int = 10000,
+        warmup: Optional[int] = None,
+        tonemap: bool = True,
+    ):
+        """Per-pixel adaptive sample allocation: after a uniform warmup,
+        each round traces ONLY the pixels whose bucket-spread standard
+        error still exceeds `tol` (gather-compacted static-size pixel
+        lists; rounds are issued in bucket multiples so every bucket keeps
+        an equal per-pixel share and the count-aware median-of-means
+        resolve stays exact). The reference traces every pixel every pass
+        (Renderer.hpp:75); this trades that for measurably fewer rays at
+        equal quality (see benchmarks/adaptive.py).
+
+        Returns (image, stats) with stats = {'samples_traced',
+        'uniform_equivalent', 'saved_fraction', 'max_spp_pixel'}."""
+        import numpy as np
+
+        from ..utils.metrics import pixel_variance_map
+
+        b = self.policy.accumulation_buckets
+        npix = self.width * self.height
+        warmup = -(-(warmup or 4 * b) // b) * b
+        self.accumulate(warmup)
+        traced = warmup * npix
+        # static-size tiers so each subset size compiles once
+        tiers = []
+        t = npix
+        while t >= max(npix // 64, 256):
+            tiers.append(t)
+            t //= 2
+        while int(self.state.accumulations) < max_spp:
+            if self.state.counts is None:
+                v = pixel_variance_map(
+                    np.asarray(self.state.buckets),
+                    int(self.state.accumulations),
+                )
+            else:
+                # per-pixel counts: variance of the mean uses each pixel's
+                # own per-bucket share
+                per_bucket = np.maximum(
+                    np.asarray(self.state.counts) / b, 1.0
+                )
+                means = np.asarray(self.state.buckets) / per_bucket[None, None, :]
+                v = (means.var(axis=0, ddof=1).mean(axis=0) / b).astype(
+                    np.float32
+                )
+            active = np.sqrt(v) > tol
+            n_active = int(active.sum())
+            if n_active == 0:
+                break
+            tier = next((t for t in reversed(tiers) if t >= n_active), npix)
+            ids = np.flatnonzero(active)[:tier]
+            valid = np.zeros(tier, bool)
+            valid[: ids.size] = True
+            ids_pad = np.zeros(tier, np.int32)
+            ids_pad[: ids.size] = ids
+            ids_j = jnp.asarray(ids_pad)
+            valid_j = jnp.asarray(valid)
+            for _ in range(b):
+                self.state = _accumulate_pixels_jit(
+                    self.scene, self.policy, self.state, self.width,
+                    self.height, ids_j, valid_j,
+                )
+            traced += b * n_active
+        img = self.render(tonemap=tonemap)
+        uniform_equiv = int(self.state.accumulations) * npix
+        counts = (
+            np.asarray(self.state.counts)
+            if self.state.counts is not None
+            else np.full(npix, float(self.state.accumulations))
+        )
+        stats = {
+            "samples_traced": int(traced),
+            "uniform_equivalent": int(uniform_equiv),
+            "saved_fraction": 1.0 - traced / max(uniform_equiv, 1),
+            "max_spp_pixel": float(counts.max()),
+        }
+        return img, stats
 
     def update_scene(self, scene: Scene):
         """Scene edit entry point: swaps the scene pytree and resets the

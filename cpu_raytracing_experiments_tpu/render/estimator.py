@@ -42,6 +42,9 @@ class RenderState:
     buckets: jnp.ndarray
     accumulations: jnp.ndarray
     reservoir: jnp.ndarray = None
+    counts: jnp.ndarray = None  # [npix] f32 per-pixel pass counts, present
+    # only after adaptive (subset) accumulation; None = uniform (the
+    # reference's always-every-pixel schedule)
 
     @staticmethod
     def _empty_reservoir(npix: int):
@@ -103,6 +106,48 @@ def accumulate(
         buckets=state.buckets.at[bucket].add(sample),
         accumulations=acc,
         reservoir=res_out,
+        counts=None if state.counts is None else state.counts + 1.0,
+    )
+
+
+def accumulate_pixels(
+    scene: Scene,
+    policy: RendererPolicy,
+    state: RenderState,
+    width: int,
+    height: int,
+    pixel_ids: jnp.ndarray,
+    valid: jnp.ndarray,
+) -> RenderState:
+    """One progressive sample for a pixel SUBSET (per-pixel adaptive
+    sample allocation — the reference traces every pixel every pass,
+    Renderer.hpp:75). `pixel_ids` [N] is a static-size compacted list,
+    `valid` masks padding. The accumulation counter still advances
+    globally (it keys the RNG stream), but only the listed pixels receive
+    the sample; `state.counts` tracks per-pixel totals for the
+    count-aware resolve."""
+    acc = state.accumulations + jnp.uint32(1)
+    rad, _ = _renderer.render_pass_pixels(
+        scene, policy, acc, width, pixel_ids, valid
+    )
+    bucket = (acc % jnp.uint32(policy.accumulation_buckets)).astype(jnp.int32)
+    npix = state.buckets.shape[-1]
+    vf = valid.astype(jnp.float32)
+    frame = jnp.zeros((3, npix), jnp.float32)
+    frame = frame.at[:, pixel_ids].add(
+        jnp.stack([rad.x * vf, rad.y * vf, rad.z * vf], axis=0)
+    )
+    counts = (
+        jnp.full((npix,), state.accumulations.astype(jnp.float32))
+        if state.counts is None
+        else state.counts
+    )
+    counts = counts.at[pixel_ids].add(vf)
+    return RenderState(
+        buckets=state.buckets.at[bucket].add(frame),
+        accumulations=acc,
+        reservoir=state.reservoir,
+        counts=counts,
     )
 
 
@@ -135,7 +180,16 @@ def resolve(
     invoking it only when accumulations % buckets == 0 (equal bucket
     weights), as the reference does (:437)."""
     b = policy.accumulation_buckets
-    n_rounds = jnp.maximum(state.accumulations // jnp.uint32(b), 1).astype(jnp.float32)
+    if state.counts is not None:
+        # count-aware resolve for adaptive (per-pixel) sample allocation:
+        # each bucket holds counts/b of the pixel's samples (subset rounds
+        # are issued in bucket multiples), so the per-pixel per-bucket mean
+        # divides by counts/b
+        n_rounds = jnp.maximum(state.counts / b, 1.0)
+    else:
+        n_rounds = jnp.maximum(
+            state.accumulations // jnp.uint32(b), 1
+        ).astype(jnp.float32)
     scale = jnp.asarray(exposure, jnp.float32) / (
         n_rounds * policy.samples_per_pixel
     )

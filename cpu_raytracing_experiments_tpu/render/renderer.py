@@ -1136,3 +1136,62 @@ def render_pass(
         )
         return flat, count, restir_out
     return flat, count
+
+def render_pass_pixels(
+    scene: Scene,
+    policy: RendererPolicy,
+    accumulation,
+    width: int,
+    pixel_ids,
+    valid,
+):
+    """One progressive sample for an ARBITRARY pixel subset — the basis of
+    per-pixel adaptive sample allocation (the reference always traces every
+    pixel every pass, Renderer.hpp:75; here converged pixels can be skipped
+    entirely). `pixel_ids` is a static-size [N] int32 list (pad with any id
+    and set `valid`=False on padding — padded lanes trace as dead rays and
+    contribute nothing). Seeds are keyed by (pixel, accumulation) exactly
+    like the dense pass, so a pixel's n-th sample is identical no matter
+    which subset schedule delivered it. Returns (radiance Vec3 [N], count).
+    """
+    ids = pixel_ids.astype(jnp.uint32)
+    x = (ids % jnp.uint32(width)).astype(jnp.int32)
+    y = (ids // jnp.uint32(width)).astype(jnp.int32)
+    seeds = pixel_seeds_from_index(ids, width, policy)
+    accumulation = jnp.asarray(accumulation, jnp.uint32)
+    p0, d0 = generate_camera_rays(
+        scene.camera, x, y, accumulation, seeds, policy.enable_dof, policy
+    )
+    # dead padding lanes: zero direction-degenerate rays would still
+    # intersect; instead mark them dead from the start by moving the origin
+    # far away and letting the alive mask kill them
+    rad, count = _trace_rays_masked(
+        scene, policy, accumulation, seeds, p0, d0, valid
+    )
+    return rad, count
+
+
+def _trace_rays_masked(scene, policy, accumulation, seeds, p0, d0, alive0):
+    """trace_rays variant whose initial alive mask can exclude lanes."""
+    zero = p0.x * 0.0
+    one = zero + 1.0
+    init = PathState(
+        bounce=jnp.int32(0),
+        p=p0,
+        d=d0,
+        throughput=Vec3(one, one, one),
+        radiance=Vec3(zero, zero, zero),
+        prev_pdf=zero,
+        prev_delta=zero > 1.0,
+        alive=alive0 & (zero < 1.0),
+        ray_count=jnp.uint32(0),
+    )
+
+    def cond(state: PathState):
+        return (state.bounce < policy.max_bounces) & jnp.any(state.alive)
+
+    def body(state: PathState) -> PathState:
+        return bounce_step(scene, policy, accumulation, seeds, state)
+
+    final = jax.lax.while_loop(cond, body, init)
+    return final.radiance, final.ray_count

@@ -1,0 +1,74 @@
+"""Per-pixel adaptive sample allocation (render_adaptive /
+estimator.accumulate_pixels): only unconverged pixels are traced after
+warmup; the count-aware median-of-means resolve stays exact."""
+import numpy as np
+
+import jax.numpy as jnp
+
+from cpu_raytracing_experiments_tpu.render import estimator
+from cpu_raytracing_experiments_tpu.render.api import Renderer
+from cpu_raytracing_experiments_tpu.scene import builders
+from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+
+W = H = 32
+POL = RendererPolicy(max_bounces=3, rays_per_chunk=2048)
+
+
+def test_adaptive_tol0_matches_uniform_bit_exact():
+    """With tol=0 every nonzero-variance pixel stays active, and the
+    count-aware resolve must reproduce the uniform render exactly."""
+    scene = builders.default_scene(W, H)
+    r = Renderer(scene, POL, W, H)
+    img, stats = r.render_adaptive(tol=0.0, max_spp=20, warmup=10)
+    r2 = Renderer(scene, POL, W, H)
+    r2.accumulate(20)
+    img2 = r2.render()
+    np.testing.assert_array_equal(img, img2)
+    assert stats["samples_traced"] <= stats["uniform_equivalent"]
+
+
+def test_adaptive_saves_rays():
+    scene = builders.default_scene(W, H)
+    r = Renderer(scene, POL, W, H)
+    img, stats = r.render_adaptive(tol=0.15, max_spp=60, warmup=10)
+    assert stats["saved_fraction"] > 0.2, stats
+    assert np.isfinite(img).all()
+    counts = np.asarray(r.state.counts)
+    # converged (e.g. black sky) pixels stopped early, others kept going
+    assert counts.min() == 10 and counts.max() > 10
+
+
+def test_accumulate_pixels_subset_masks_padding():
+    scene = builders.default_scene(W, H)
+    pol = POL
+    state = estimator.RenderState.create(W, H, pol)
+    # trace only pixel 5, pad the rest of an 8-wide list
+    ids = jnp.asarray([5, 0, 0, 0, 0, 0, 0, 0], jnp.int32)
+    valid = jnp.asarray([True] + [False] * 7)
+    out = estimator.accumulate_pixels(scene, pol, state, W, H, ids, valid)
+    b = np.asarray(out.buckets)
+    touched = np.nonzero(np.abs(b).sum(axis=(0, 1)))[0]
+    assert set(touched.tolist()) <= {5}
+    c = np.asarray(out.counts)
+    assert c[5] == 1.0 and c[0] == 0.0
+
+
+def test_count_aware_resolve_scales_per_pixel():
+    pol = RendererPolicy(max_bounces=2)
+    state = estimator.RenderState.create(2, 2, pol)
+    # pixel 0: 5 passes each depositing 1.0 (one per bucket);
+    # pixel 1: 10 passes each depositing 1.0 (two per bucket)
+    buckets = np.zeros((5, 3, 4), np.float32)
+    buckets[:, :, 0] = 1.0
+    buckets[:, :, 1] = 2.0
+    state = estimator.RenderState(
+        buckets=jnp.asarray(buckets),
+        accumulations=jnp.uint32(10),
+        counts=jnp.asarray([5.0, 10.0, 5.0, 5.0]),
+    )
+    img = np.asarray(
+        estimator.resolve(state, pol, 1.0, 2, 2, tonemap=False)
+    ).reshape(4, 3)
+    # both pixels' per-pass mean is 1.0 despite different counts
+    np.testing.assert_allclose(img[0], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(img[1], 1.0, rtol=1e-6)
