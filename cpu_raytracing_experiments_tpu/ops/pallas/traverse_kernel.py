@@ -62,6 +62,14 @@ except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
 FLT_MAX = 3.4028235e38
+
+# XLA's default 16 MB scoped-vmem budget trips at 4K chunk sizes (the
+# fused while-loop schedule co-stages several traversal kernels' operand
+# copies); v5e has 128 MB of VMEM, so grant the kernels a bigger slice.
+if _HAVE_PALLAS:
+    _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+else:  # pragma: no cover
+    _COMPILER_PARAMS = None
 DEFAULT_TILE_R = 256
 DEFAULT_SEG_LEN = 2048
 
@@ -199,6 +207,7 @@ def _plan_visits(cp: ClusteredPrims, ray_in, t_tiles: int, tile_r: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t_tiles, cpad), jnp.float32),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(*slabs, *ray_in)
     entry_t = entry_t[:, :c]  # [T, C]
     nvis = jnp.sum((entry_t < FLT_MAX).astype(jnp.int32), axis=1, keepdims=True)
@@ -387,6 +396,7 @@ def intersect_clustered_pallas(
         ],
         scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(nvis, visit, entry, *ray_in, *attrs)
     tfar = tfar[:num_rays, 0]
     packed = prim[:num_rays, 0]
@@ -436,6 +446,7 @@ def occluded_clustered_pallas(
         out_shape=jax.ShapeDtypeStruct((rp, 1), jnp.int32),
         scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(nvis, visit, entry, *ray_in, *attrs)
     return occ[:num_rays, 0] > 0
 
