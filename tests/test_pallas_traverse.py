@@ -168,3 +168,41 @@ def test_renderer_accel_pallas_matches_brute():
     np.testing.assert_array_equal(
         np.asarray(rp.state.buckets), np.asarray(rb.state.buckets)
     )
+
+
+def test_coherence_order_roundtrip_and_grouping():
+    """Segmented (dead, octant) radix: permutation property, dead-last and
+    octant-grouped within each segment, inverse scatters back."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    r = 5000  # not a multiple of seg_len -> exercises padding
+    seg = 2048
+    alive = jnp.asarray(rng.random(r) < 0.7)
+    d = Vec3(*[jnp.asarray(rng.normal(size=r).astype(np.float32)) for _ in range(3)])
+    order, inv, rp = tk.coherence_order(alive, d, seg_len=seg)
+    assert rp == 3 * seg
+    o = np.asarray(order)
+    assert sorted(o.tolist()) == list(range(rp))  # permutation over padded ids
+    # inverse property: order[inv[i]] == i
+    assert np.array_equal(o[np.asarray(inv)], np.arange(rp))
+    # per segment: alive block first, then dead, then padding ids (>= r)
+    al = np.zeros(rp, bool)
+    al[:r] = np.asarray(alive)
+    oct_ = (
+        (np.asarray(d.x) < 0).astype(int)
+        | ((np.asarray(d.y) < 0).astype(int) << 1)
+        | ((np.asarray(d.z) < 0).astype(int) << 2)
+    )
+    key = np.full(rp, 15)
+    key[:r] = np.where(np.asarray(alive), oct_, 8)
+    for s in range(3):
+        seg_ids = o[s * seg : (s + 1) * seg]
+        in_seg = (seg_ids >= s * seg) & (seg_ids < (s + 1) * seg)
+        assert in_seg.all()  # segment-local permutation
+        k = key[seg_ids]
+        assert (np.diff(k) >= 0).all()  # sorted by (dead, octant) key
+        # stability: equal keys keep original relative order
+        for kv in np.unique(k):
+            grp = seg_ids[k == kv]
+            assert (np.diff(grp) > 0).all()
