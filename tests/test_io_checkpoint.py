@@ -1,6 +1,13 @@
 """Image IO + checkpoint/resume tests."""
+import os
 import subprocess
 import sys
+
+# CLI subprocesses run --cpu; stripping the axon pool var skips the TPU
+# tunnel registration at interpreter startup (which costs 60-200 s when
+# the tunnel is busy and made these tests time out under load)
+_CPU_ENV = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+_CPU_ENV["JAX_PLATFORMS"] = "cpu"
 
 import numpy as np
 import pytest
@@ -102,7 +109,7 @@ def test_cli_render_end_to_end(tmp_path):
         "--spp", "5", "--bounces", "4", "--chunk", "1024", "--cpu", "--quiet",
         "--out", str(out), "--hdr-out", str(hdr),
     ]
-    res = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    res = subprocess.run(cmd, capture_output=True, text=True, timeout=300, env=_CPU_ENV)
     assert res.returncode == 0, res.stderr[-2000:]
     assert out.exists() and hdr.exists()
     back = image_io.read_hdr(hdr)
@@ -112,7 +119,7 @@ def test_cli_render_end_to_end(tmp_path):
 def test_cli_scenes_and_aov(tmp_path):
     res = subprocess.run(
         [sys.executable, "-m", "cpu_raytracing_experiments_tpu.cli", "scenes"],
-        capture_output=True, text=True, timeout=120,
+        capture_output=True, text=True, timeout=120, env=_CPU_ENV,
     )
     assert res.returncode == 0
     assert "white_furnace" in res.stdout and "cornell" in res.stdout
@@ -121,7 +128,7 @@ def test_cli_scenes_and_aov(tmp_path):
         [sys.executable, "-m", "cpu_raytracing_experiments_tpu.cli", "aov",
          "--scene", "white_furnace", "--width", "24", "--height", "24",
          "--cpu", "--out-prefix", str(tmp_path / "a")],
-        capture_output=True, text=True, timeout=300,
+        capture_output=True, text=True, timeout=300, env=_CPU_ENV,
     )
     assert res.returncode == 0, res.stderr[-1500:]
     assert (tmp_path / "a_depth.png").exists()
@@ -236,12 +243,12 @@ def test_cli_checkpoint_resume(tmp_path):
         "--bounces", "3", "--chunk", "256", "--cpu", "--quiet",
         "--checkpoint", str(ckpt),
     ]
-    r1 = subprocess.run(base + ["--spp", "5"], capture_output=True, text=True, timeout=300)
+    r1 = subprocess.run(base + ["--spp", "5"], capture_output=True, text=True, timeout=300, env=_CPU_ENV)
     assert r1.returncode == 0, r1.stderr[-1000:]
     assert ckpt.exists()
     r2 = subprocess.run(
         base + ["--spp", "10", "--hdr-out", str(tmp_path / "resumed.npy")],
-        capture_output=True, text=True, timeout=300,
+        capture_output=True, text=True, timeout=300, env=_CPU_ENV,
     )
     assert r2.returncode == 0, r2.stderr[-1000:]
     assert "resume" in r2.stdout or True  # metrics quieted; checkpoint grew
