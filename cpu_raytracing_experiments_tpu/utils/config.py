@@ -106,9 +106,13 @@ class RendererPolicy:
     # sky/occlusion lighting (visible in many-sphere scenes; the reference
     # has the same artifact). False = bit-parity with the reference;
     # True = scrambled, banding-free.
-    restir_temporal_cap: int = 20  # temporal reservoir count clamp, in units
-    # of RIS_CANDIDATES (the standard M-cap keeping stale history bounded)
-    restir_spatial: int = 2  # spatial neighbor reservoirs merged per pass
+    restir_temporal_cap: int = 2  # temporal reservoir count clamp, in units
+    # of RIS_CANDIDATES. Short on purpose: in a PROGRESSIVE ACCUMULATOR,
+    # long temporal memory correlates consecutive passes' NEE samples and
+    # slows the 1/N average (measured: cap=20 is ~15% WORSE MSE than plain
+    # RIS on a 326-light scene; cap=2 with spatial=4 is ~6% better) -
+    # real-time ReSTIR wants long memory, offline accumulation wants short
+    restir_spatial: int = 4  # spatial neighbor reservoirs merged per pass
     restir_radius: int = 32  # neighbor offset radius IN RAY-ARRAY ORDER
     # (with ray_order='tile' this is within a 16x16 screen block; with
     # raster order it is along the scanline)
