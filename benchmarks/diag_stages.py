@@ -88,7 +88,7 @@ def main():
                     alive=alive, ray_count=jnp.uint32(0))
                 if nee:
                     if shadow:
-                        cont, traced = RR._next_event_estimation(
+                        cont, traced, _ = RR._next_event_estimation(
                             scene, policy, st, accumulation, seeds, hit,
                             prim_id, is_tri, p_off, t_quat, v_local, mat)
                         acc = acc + cont.x * 1e-9
@@ -99,7 +99,7 @@ def main():
                             lambda sc, p_, d_, tf, accel=None, policy=None:
                             jnp.zeros_like(tf, bool))
                         try:
-                            cont, traced = RR._next_event_estimation(
+                            cont, traced, _ = RR._next_event_estimation(
                                 scene, policy, st, accumulation, seeds, hit,
                                 prim_id, is_tri, p_off, t_quat, v_local, mat)
                         finally:

@@ -19,6 +19,7 @@ from __future__ import annotations
 from functools import partial
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core.vec import Vec3
@@ -79,7 +80,11 @@ def intersect_spheres(
             radius_sq[start:end],
         )
         chunk_best = jnp.min(t, axis=1)
-        chunk_arg = jnp.argmin(t, axis=1).astype(jnp.int32) + (start + prim_id_offset)
+        iota = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        first = jnp.min(
+            jnp.where(t == chunk_best[:, None], iota, jnp.int32(1 << 30)), axis=1
+        )
+        chunk_arg = first + (start + prim_id_offset)
         closer = chunk_best < best_t
         best_id = jnp.where(closer, chunk_arg, best_id)
         best_t = jnp.where(closer, chunk_best, best_t)
@@ -167,7 +172,11 @@ def intersect_triangles(
         end = min(start + prim_chunk, num_prims)
         t = _triangle_candidates(p, d, sl(v0, start, end), sl(e1, start, end), sl(e2, start, end))
         chunk_best = jnp.min(t, axis=1)
-        chunk_arg = jnp.argmin(t, axis=1).astype(jnp.int32) + (start + prim_id_offset)
+        iota = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        first = jnp.min(
+            jnp.where(t == chunk_best[:, None], iota, jnp.int32(1 << 30)), axis=1
+        )
+        chunk_arg = first + (start + prim_id_offset)
         closer = chunk_best < best_t
         best_id = jnp.where(closer, chunk_arg, best_id)
         best_t = jnp.where(closer, chunk_best, best_t)

@@ -252,7 +252,14 @@ def _make_closest_kernel(kind: str, k_prims: int):
             c = visit[row, j]
             t = battery(rpx, rpy, rpz, rdx, rdy, rdz, attrs, c)
             best = jnp.min(t, axis=1, keepdims=True)
-            arg = jnp.argmin(t, axis=1).astype(jnp.int32).reshape(best.shape)
+            # first-match min-iota instead of argmin: the (f32,i32)
+            # tuple-reduce lowers poorly on the VPU (~13% of the whole
+            # brute battery); same first-occurrence tie-break, bit-exact
+            lanes = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+            arg = jnp.min(
+                jnp.where(t == best, lanes, jnp.int32(1 << 30)),
+                axis=1, keepdims=True,
+            )
             closer = (best < tfar_out[:]) & ok
             tfar_out[:] = jnp.where(closer, best, tfar_out[:])
             prim_out[:] = jnp.where(closer, c * k_prims + arg, prim_out[:])
