@@ -119,7 +119,15 @@ def occluded_spheres(
 # for the Cornell-box and mesh benchmark configs.
 # ---------------------------------------------------------------------------
 def _triangle_candidates(p: Vec3, d: Vec3, v0: Vec3, e1: Vec3, e2: Vec3):
-    """Per-(ray, tri) distances, +inf when missed. All tri arrays [C]."""
+    """Per-(ray, tri) distances, +inf when missed. All tri arrays [C].
+
+    Baldwin-Weber precomputed-plane form: the per-pair cross products of
+    Moller-Trumbore become per-TRIANGLE constants (n = e1 x e2; u/v dual
+    rows f1 = (e2 x n)/|n|^2, f2 = -(e1 x n)/|n|^2), cutting the [R x C]
+    inner math from ~57 to ~40 VPU ops/pair. The constants are
+    loop-invariant, so XLA hoists them out of the bounce loop. Degenerate
+    triangles give n = 0 -> |den| mask rejects. Same u/v (e1/e2
+    barycentric) semantics and epsilons as Moller-Trumbore."""
 
     def bx(a):  # broadcast prim -> [1, C]
         return a[None, :]
@@ -127,24 +135,33 @@ def _triangle_candidates(p: Vec3, d: Vec3, v0: Vec3, e1: Vec3, e2: Vec3):
     def br(a):  # broadcast ray -> [R, 1]
         return a[:, None]
 
-    # h = d x e2
-    hx = br(d.y) * bx(e2.z) - br(d.z) * bx(e2.y)
-    hy = br(d.z) * bx(e2.x) - br(d.x) * bx(e2.z)
-    hz = br(d.x) * bx(e2.y) - br(d.y) * bx(e2.x)
-    det = bx(e1.x) * hx + bx(e1.y) * hy + bx(e1.z) * hz
-    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-    sx = br(p.x) - bx(v0.x)
-    sy = br(p.y) - bx(v0.y)
-    sz = br(p.z) - bx(v0.z)
-    u = (sx * hx + sy * hy + sz * hz) * inv_det
-    # q = s x e1
-    qx = sy * bx(e1.z) - sz * bx(e1.y)
-    qy = sz * bx(e1.x) - sx * bx(e1.z)
-    qz = sx * bx(e1.y) - sy * bx(e1.x)
-    v = (br(d.x) * qx + br(d.y) * qy + br(d.z) * qz) * inv_det
-    t = (bx(e2.x) * qx + bx(e2.y) * qy + bx(e2.z) * qz) * inv_det
+    # per-triangle constants ([C]-sized; hoisted by XLA)
+    nx = e1.y * e2.z - e1.z * e2.y
+    ny = e1.z * e2.x - e1.x * e2.z
+    nz = e1.x * e2.y - e1.y * e2.x
+    nn = nx * nx + ny * ny + nz * nz
+    inv_nn = jnp.where(nn > 0.0, 1.0 / jnp.maximum(nn, 1e-38), 0.0)
+    f1x = (e2.y * nz - e2.z * ny) * inv_nn
+    f1y = (e2.z * nx - e2.x * nz) * inv_nn
+    f1z = (e2.x * ny - e2.y * nx) * inv_nn
+    f2x = -(e1.y * nz - e1.z * ny) * inv_nn
+    f2y = -(e1.z * nx - e1.x * nz) * inv_nn
+    f2z = -(e1.x * ny - e1.y * nx) * inv_nn
+    d0 = nx * v0.x + ny * v0.y + nz * v0.z
+    g1 = -(f1x * v0.x + f1y * v0.y + f1z * v0.z)
+    g2 = -(f2x * v0.x + f2y * v0.y + f2z * v0.z)
+
+    # per-pair test
+    den = br(d.x) * bx(nx) + br(d.y) * bx(ny) + br(d.z) * bx(nz)
+    num = bx(d0) - (br(p.x) * bx(nx) + br(p.y) * bx(ny) + br(p.z) * bx(nz))
+    t = num / den
+    qx = br(p.x) + t * br(d.x)
+    qy = br(p.y) + t * br(d.y)
+    qz = br(p.z) + t * br(d.z)
+    u = qx * bx(f1x) + qy * bx(f1y) + qz * bx(f1z) + bx(g1)
+    v = qx * bx(f2x) + qy * bx(f2y) + qz * bx(f2z) + bx(g2)
     valid = (
-        (jnp.abs(det) > 1e-12)
+        (jnp.abs(den) > 1e-12)
         & (u >= 0.0)
         & (v >= 0.0)
         & (u + v <= 1.0)
