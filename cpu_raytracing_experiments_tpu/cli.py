@@ -136,7 +136,8 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--brdf", choices=["lambertian", "ggx", "principled"],
                    help="closure model (overrides --ggx)")
     p.add_argument("--no-mis", action="store_true")
-    p.add_argument("--light-sampling", choices=["uniform", "power", "ris"], default="uniform",
+    p.add_argument("--light-sampling",
+                   choices=["uniform", "power", "ris", "restir"], default="uniform",
                    help="NEE light selection: uniform (reference) or power-proportional")
     p.add_argument("--no-rr", action="store_true", help="disable Russian roulette")
     p.add_argument("--stratify", action="store_true",
@@ -153,6 +154,10 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--prop", help="brdf_test property sweep (roughness, roughness_glass, ...)")
     p.add_argument("--exposure", type=float, default=1.0,
                    help="linear exposure applied at resolve (Renderer.hpp:439)")
+    p.add_argument("--adaptive-tol", type=float, default=None, metavar="SE",
+                   help="per-pixel adaptive sample allocation: trace only "
+                        "pixels whose standard error exceeds SE, up to --spp "
+                        "(render_adaptive; incompatible with --checkpoint)")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument("--metrics", help="JSONL metrics output path")
     p.add_argument("--quiet", action="store_true")
@@ -178,6 +183,22 @@ def cmd_render(args):
     if args.checkpoint and ckpt.exists(args.checkpoint):
         r.state = ckpt.load(args.checkpoint, policy, args.width, args.height)
         log.log(event="resume", path=args.checkpoint, spp=int(r.state.accumulations))
+
+    if args.adaptive_tol is not None:
+        if args.checkpoint:
+            raise SystemExit("--adaptive-tol does not support --checkpoint "
+                             "(per-pixel counts are not serialized)")
+        t0 = time.perf_counter()
+        img, stats = r.render_adaptive(args.adaptive_tol, max_spp=args.spp)
+        log.log(event="adaptive", wall=round(time.perf_counter() - t0, 2),
+                **stats)
+        if args.out:
+            image_io.store(args.out, img)
+            log.log(event="wrote", path=args.out)
+        if args.hdr_out:
+            image_io.store(args.hdr_out, r.render(tonemap=False))
+            log.log(event="wrote", path=args.hdr_out)
+        return
 
     b = policy.accumulation_buckets
     target = -(-args.spp // b) * b
