@@ -90,7 +90,7 @@ def main():
     # Production path is the brute battery (measured 40x faster than BVH
     # traversal on TPU at this primitive count — ARCHITECTURE.md).
     w = 512 // scale
-    pol_bf = RendererPolicy(max_bounces=8)
+    pol_bf = RendererPolicy(max_bounces=8, narrow_factors=(8,))
     results.append(
         measure("2. 1k spheres (brute battery)",
                 builders.random_spheres_scene(w, w, num_spheres=1000), pol_bf, w, w, 64)
@@ -168,7 +168,18 @@ def main():
                 f"{r['Msamples_per_s']} | {r['ms_per_pass']} | "
                 f"{r['wall_to_target_s']} s @ {r['spp_target']}spp |"
             )
-        Path(args.out).write_text("\n".join(lines) + "\n")
+        out = Path(args.out)
+        extra = ""
+        if out.exists():
+            # preserve hand-appended sections (config-5-at-spec record,
+            # adaptive-allocation curves, ...) below the sweep table
+            prev = out.read_text()
+            cut = prev.find("\n| 5-SPEC.")
+            if cut == -1:
+                cut = prev.find("\n\n## ")
+            if cut != -1:
+                extra = prev[cut:]
+        out.write_text("\n".join(lines) + extra + "\n")
 
 
 if __name__ == "__main__":
