@@ -29,6 +29,12 @@ from .pallas import traverse_kernel as _tk
 FLT_MAX = jnp.float32(3.4028235e38)
 
 
+PALLAS_MIN_PRIMS = 192  # below this, the dense [R x P] brute battery beats
+# the clustered kernel's fixed cost (a zero-work traversal invocation
+# measures ~6 ms in-jit at 147k rays: plan battery + grid overheads); the
+# mesh scenes' 2-sphere geometry was paying that twice per bounce
+
+
 def _pallas_kw(policy) -> dict:
     """pallas_* knobs from a RendererPolicy (defaults when policy is None)."""
     if policy is None:
@@ -243,10 +249,21 @@ def intersect_scene(
             run = partial(_tk.intersect_clustered_pallas_compact, alive=alive)
         else:
             run = partial(_tk.intersect_clustered_pallas, alive=alive)
-        tfar, prim_id = run(scene.sphere_clusters, p, d, **kw)
+        if scene.spheres.count < PALLAS_MIN_PRIMS:
+            tfar, prim_id = intersect_spheres(
+                p, d, scene.spheres.center, scene.spheres.radius_sq
+            )
+        else:
+            tfar, prim_id = run(scene.sphere_clusters, p, d, **kw)
         is_tri = jnp.zeros_like(prim_id, bool)
-        if scene.triangles is not None and scene.tri_clusters is not None:
-            t2, id2 = run(scene.tri_clusters, p, d, tfar0=tfar, **kw)
+        if scene.triangles is not None:
+            if scene.triangles.count < PALLAS_MIN_PRIMS or scene.tri_clusters is None:
+                tri = scene.triangles
+                t2, id2 = intersect_triangles(
+                    p, d, tri.v0, tri.e1, tri.e2, tfar=tfar
+                )
+            else:
+                t2, id2 = run(scene.tri_clusters, p, d, tfar0=tfar, **kw)
             hit_tri = id2 >= 0
             prim_id = jnp.where(hit_tri, id2, prim_id)
             tfar = jnp.where(hit_tri, t2, tfar)
@@ -341,11 +358,19 @@ def occluded_scene(
             if compact
             else _tk.occluded_clustered_pallas
         )
-        occ = run(scene.sphere_clusters, p, d, tfar, **kw)
-        if scene.triangles is not None and scene.tri_clusters is not None:
-            occ = occ | run(
-                scene.tri_clusters, p, d, jnp.where(occ, 0.0, tfar), **kw
+        if scene.spheres.count < PALLAS_MIN_PRIMS:
+            occ = occluded_spheres(
+                p, d, tfar, scene.spheres.center, scene.spheres.radius_sq
             )
+        else:
+            occ = run(scene.sphere_clusters, p, d, tfar, **kw)
+        if scene.triangles is not None:
+            rest = jnp.where(occ, 0.0, tfar)
+            if scene.triangles.count < PALLAS_MIN_PRIMS or scene.tri_clusters is None:
+                tri = scene.triangles
+                occ = occ | occluded_triangles(p, d, rest, tri.v0, tri.e1, tri.e2)
+            else:
+                occ = occ | run(scene.tri_clusters, p, d, rest, **kw)
         return occ
     if accel == "clustered" and scene.sphere_clusters is not None:
         from . import clustered as _cl
