@@ -55,6 +55,75 @@ class ClusteredPrims:
     kind: str = "sphere"
 
 
+def build_clusters_sah(
+    mins: np.ndarray,
+    maxs: np.ndarray,
+    rows: np.ndarray,
+    cluster_size: int = 128,
+    kind: str = "sphere",
+) -> ClusteredPrims:
+    """SAH-cut clustering: build a binned-SAH BVH with
+    leaf_size=cluster_size (leaves are then MAXIMAL subtrees holding <=
+    cluster_size prims) and emit each leaf as one cluster, padded to
+    cluster_size. Versus the morton chop (build_clusters), cluster AABBs
+    follow the surface partition the SAH actually optimizes — the straddler
+    prims that inflate fixed morton chunk bounds land in their own tight
+    boxes — at the price of partial fill (padded lanes are degenerate
+    never-hit prims). Consecutive DFS leaves (usually siblings) are greedily
+    re-merged while their union stays within cluster_size, recovering fill
+    without giving up much tightness. Same ClusteredPrims contract as
+    build_clusters: packed [C*K] rows, original-id `order` (-1 padding),
+    per-cluster AABBs."""
+    from ..bvh import builder as _bvh
+
+    mins32 = np.asarray(mins, np.float32)
+    maxs32 = np.asarray(maxs, np.float32)
+    p = mins32.shape[0]
+    k = int(min(cluster_size, max(1, p)))
+    node_min, node_max, first, count, order = _bvh._build_numpy(
+        mins32, maxs32, leaf_size=k
+    )
+    leaf_ids = np.where(count > 0)[0]
+    # in-order sequence: leaves tile the reordered prim range contiguously,
+    # so sorting by prim-range start makes consecutive leaves tree-adjacent
+    # (usually siblings) — the right pairs to consider re-merging
+    leaf_ids = leaf_ids[np.argsort(first[leaf_ids], kind="stable")]
+    groups = []  # list of (ids, lo, hi)
+    for nid in leaf_ids:
+        b, m = int(first[nid]), int(count[nid])
+        ids = order[b : b + m].astype(np.int64)
+        lo, hi = node_min[nid].copy(), node_max[nid].copy()
+        if groups and len(groups[-1][0]) + m <= k:
+            pids, plo, phi = groups[-1]
+            groups[-1] = (
+                np.concatenate([pids, ids]),
+                np.minimum(plo, lo),
+                np.maximum(phi, hi),
+            )
+        else:
+            groups.append((ids, lo, hi))
+    num_clusters = len(groups)
+    full_order = np.full(num_clusters * k, -1, np.int64)
+    c_lo = np.empty((num_clusters, 3), np.float32)
+    c_hi = np.empty((num_clusters, 3), np.float32)
+    for c, (ids, lo, hi) in enumerate(groups):
+        full_order[c * k : c * k + ids.size] = ids
+        c_lo[c], c_hi[c] = lo, hi
+    pad_row = np.zeros(rows.shape[1], np.float32)
+    pad_row[0] = 1e16
+    all_rows = np.vstack([rows.astype(np.float32), pad_row[None, :]])
+    packed = all_rows[np.where(full_order >= 0, full_order, p)]
+    return ClusteredPrims(
+        rows=jnp.asarray(packed),
+        order=jnp.asarray(full_order.astype(np.int32)),
+        lo=Vec3(*[jnp.asarray(c_lo[:, i]) for i in range(3)]),
+        hi=Vec3(*[jnp.asarray(c_hi[:, i]) for i in range(3)]),
+        num_clusters=num_clusters,
+        cluster_size=k,
+        kind=kind,
+    )
+
+
 def _morton3(x, y, z):
     def spread(v):
         v = v.astype(np.uint64) & 0x1FFFFF

@@ -97,6 +97,36 @@ def intersect_spheres(
     return best_t, best_id
 
 
+def _sphere_occluded_pairs(p: Vec3, d: Vec3, tfar, cx, cy, cz, r_sq):
+    """Per-(ray, prim) occlusion bits — the reference's selected-root-in-
+    [0, tfar) predicate (BVH.hpp:291-305) rewritten sqrt-free. With
+    s = sqrt(disc), near = b - s, far = b + s, every root comparison is a
+    sign test plus a square comparison:
+        near >= 0  <=>  b >= 0  and  b^2 >= disc
+        near < tf  <=>  b - tf < 0  or  (b - tf)^2 < disc
+        far  >= 0  <=>  b >= 0  or   b^2 <= disc
+        far  < tf  <=>  b - tf < 0  and disc < (b - tf)^2
+    so the any-hit battery needs no sqrt, no root select and no FLT_MAX
+    select — ~25% fewer VPU slots per pair than reusing the closest-hit
+    candidates. Boundary rays within ~1 ulp of tangency may round
+    differently than the sqrt form; lanes with tfar <= 0 can never occlude
+    (e = b there, and both branches reject), preserving the renderer's
+    masked-shadow-lane contract."""
+    tx = cx[None, :] - p.x[:, None]
+    ty = cy[None, :] - p.y[:, None]
+    tz = cz[None, :] - p.z[:, None]
+    b = d.x[:, None] * tx + d.y[:, None] * ty + d.z[:, None] * tz
+    disc = r_sq[None, :] - (tx * tx + ty * ty + tz * tz) + b * b
+    bb = b * b
+    e = b - tfar[:, None]
+    q = e * e
+    near_ge0 = (b >= 0.0) & (bb >= disc)
+    hit_near = (e < 0.0) | (q < disc)  # near < tfar
+    far_ge0 = (b >= 0.0) | (bb <= disc)
+    hit_far = (e < 0.0) & (disc < q)  # far < tfar
+    return (disc >= 0.0) & jnp.where(near_ge0, hit_near, far_ge0 & hit_far)
+
+
 def occluded_spheres(
     p: Vec3,
     d: Vec3,
@@ -112,11 +142,11 @@ def occluded_spheres(
     occluded = jnp.zeros((num_rays,), bool)
     for start in range(0, num_prims, prim_chunk):
         end = min(start + prim_chunk, num_prims)
-        t = _sphere_candidates(
-            p, d, center.x[start:end], center.y[start:end], center.z[start:end],
-            radius_sq[start:end],
+        occ = _sphere_occluded_pairs(
+            p, d, tfar, center.x[start:end], center.y[start:end],
+            center.z[start:end], radius_sq[start:end],
         )
-        occluded = occluded | jnp.any(t < tfar[:, None], axis=1)
+        occluded = occluded | jnp.any(occ, axis=1)
     return occluded
 
 

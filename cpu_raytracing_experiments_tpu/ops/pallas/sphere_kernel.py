@@ -56,10 +56,21 @@ def _closest_kernel(px, py, pz, dx, dy, dz, cx, cy, cz, rsq, tfar_out, prim_out)
 
 
 def _occluded_kernel(px, py, pz, dx, dy, dz, tfar, cx, cy, cz, rsq, occ_out):
-    t = _candidates(
-        px[:], py[:], pz[:], dx[:], dy[:], dz[:], cx[:], cy[:], cz[:], rsq[:]
-    )
-    occ_out[:] = jnp.any(t < tfar[:][:, None], axis=1)
+    # sqrt-free any-hit predicate (ops/intersect.py::_sphere_occluded_pairs)
+    tx = cx[:][None, :] - px[:][:, None]
+    ty = cy[:][None, :] - py[:][:, None]
+    tz = cz[:][None, :] - pz[:][:, None]
+    b = dx[:][:, None] * tx + dy[:][:, None] * ty + dz[:][:, None] * tz
+    disc = rsq[:][None, :] - (tx * tx + ty * ty + tz * tz) + b * b
+    bb = b * b
+    e = b - tfar[:][:, None]
+    q = e * e
+    near_ge0 = (b >= 0.0) & (bb >= disc)
+    hit_near = (e < 0.0) | (q < disc)
+    far_ge0 = (b >= 0.0) | (bb <= disc)
+    hit_far = (e < 0.0) & (disc < q)
+    occ = (disc >= 0.0) & jnp.where(near_ge0, hit_near, far_ge0 & hit_far)
+    occ_out[:] = jnp.any(occ, axis=1)
 
 
 def _pad_rays(arr, n_pad):

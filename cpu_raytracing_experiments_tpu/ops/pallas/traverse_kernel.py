@@ -127,7 +127,37 @@ def _triangle_battery(px, py, pz, dx, dy, dz, attrs, c):
     return jnp.where(valid, t, FLT_MAX)
 
 
+def _sphere_anyhit_battery(px, py, pz, dx, dy, dz, tf, attrs, c):
+    """Occlusion bits [TILE_R, K] — the sqrt-free any-hit predicate
+    (see ops/intersect.py::_sphere_occluded_pairs for the derivation):
+    every root comparison of the reference's selected-root-in-[0,tfar)
+    test becomes a sign test plus a square comparison, dropping the sqrt,
+    the root select and the FLT_MAX select from the shadow battery."""
+    cx, cy, cz, rsq = attrs
+    tx = cx[c][None, :] - px
+    ty = cy[c][None, :] - py
+    tz = cz[c][None, :] - pz
+    b = dx * tx + dy * ty + dz * tz
+    disc = rsq[c][None, :] - (tx * tx + ty * ty + tz * tz) + b * b
+    bb = b * b
+    e = b - tf
+    q = e * e
+    near_ge0 = (b >= 0.0) & (bb >= disc)
+    hit_near = (e < 0.0) | (q < disc)
+    far_ge0 = (b >= 0.0) | (bb <= disc)
+    hit_far = (e < 0.0) & (disc < q)
+    return (disc >= 0.0) & jnp.where(near_ge0, hit_near, far_ge0 & hit_far)
+
+
+def _triangle_anyhit_battery(px, py, pz, dx, dy, dz, tf, attrs, c):
+    return _triangle_battery(px, py, pz, dx, dy, dz, attrs, c) < tf
+
+
 _BATTERIES = {"sphere": _sphere_battery, "triangle": _triangle_battery}
+_ANYHIT_BATTERIES = {
+    "sphere": _sphere_anyhit_battery,
+    "triangle": _triangle_anyhit_battery,
+}
 _N_ATTRS = {"sphere": 4, "triangle": 12}
 
 
@@ -309,7 +339,7 @@ def _make_closest_kernel(kind: str, k_prims: int):
 
 
 def _make_shadow_kernel(kind: str):
-    battery = _BATTERIES[kind]
+    battery = _ANYHIT_BATTERIES[kind]
     n_attr = _N_ATTRS[kind]
 
     def kernel(*refs):
@@ -336,8 +366,8 @@ def _make_shadow_kernel(kind: str):
 
         def body(j):
             c = visit[row, j]
-            t = battery(rpx, rpy, rpz, rdx, rdy, rdz, attrs, c)
-            hit = jnp.any(t < tf, axis=1, keepdims=True) & ok
+            occ = battery(rpx, rpy, rpz, rdx, rdy, rdz, tf, attrs, c)
+            hit = jnp.any(occ, axis=1, keepdims=True) & ok
             occ_out[:] = jnp.where(hit, 1, occ_out[:])
 
             @pl.when(jax.lax.rem(j, 8) == 7)

@@ -151,6 +151,53 @@ def accumulate_pixels(
     )
 
 
+def accumulate_wide(
+    scene: Scene,
+    policy: RendererPolicy,
+    state: RenderState,
+    width: int,
+    height: int,
+    k: int,
+) -> RenderState:
+    """k accumulation passes traced as ONE wide wavefront launch (lane
+    block i carries accumulation+i; renderer.render_pass k_passes). Every
+    lane's radiance — and therefore every bucket — is bit-identical to k
+    sequential accumulate() calls: the counter RNG keys all draws by
+    (accumulation, pixel), never by launch shape. The win is pure per-op
+    overhead amortization on small frames, where a 65k-lane pass leaves
+    the VPU mostly idle between op launches (hero 256x256 measured
+    ~3 ms/pass sequential)."""
+    acc0 = state.accumulations + jnp.uint32(1)
+    rad, _ = _renderer.render_pass(
+        scene, policy, acc0, width, height, k_passes=k
+    )
+    b = jnp.uint32(policy.accumulation_buckets)
+    buckets = state.buckets
+    for i in range(k):
+        bi = ((acc0 + jnp.uint32(i)) % b).astype(jnp.int32)
+        sample = jnp.stack([rad.x[i], rad.y[i], rad.z[i]], axis=0)
+        buckets = buckets.at[bi].add(sample)
+    return RenderState(
+        buckets=buckets,
+        accumulations=acc0 + jnp.uint32(k - 1),
+        reservoir=state.reservoir,
+        counts=None if state.counts is None else state.counts + float(k),
+    )
+
+
+def launch_width(policy: RendererPolicy, width: int, height: int) -> int:
+    """Auto k for accumulate_n: batch passes until the launch reaches the
+    microbatch width (rays_per_chunk), cap 8. Sequential modes (ReSTIR's
+    reservoir chain) stay at 1."""
+    if policy.light_sampling == "restir":
+        return 1
+    ppl = policy.passes_per_launch
+    if ppl == "auto":
+        per_pass = width * height * policy.samples_per_pixel
+        return max(1, min(8, policy.rays_per_chunk // per_pass))
+    return max(1, int(ppl))
+
+
 def accumulate_n(
     scene: Scene,
     policy: RendererPolicy,
@@ -159,7 +206,17 @@ def accumulate_n(
     height: int,
     n: int,
 ) -> RenderState:
-    """n accumulation passes fused into one compiled loop."""
+    """n accumulation passes fused into one compiled loop. Small frames are
+    traced `launch_width` passes per wavefront launch (bit-identical to
+    sequential — see accumulate_wide); the remainder runs one at a time."""
+    k = min(launch_width(policy, width, height), n)
+    if k > 1:
+
+        def stepk(_, s):
+            return accumulate_wide(scene, policy, s, width, height, k)
+
+        state = jax.lax.fori_loop(0, n // k, stepk, state)
+        n = n % k
 
     def step(_, s):
         return accumulate(scene, policy, s, width, height)

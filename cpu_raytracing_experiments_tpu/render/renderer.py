@@ -782,7 +782,7 @@ def trace_rays(
     if caps:
         from ..ops.pallas.traverse_kernel import compact_order
 
-        cur, cur_seeds = init, seeds
+        cur, cur_seeds, cur_acc = init, seeds, accumulation
         scatters = []
         for cap in caps:
             def cond_s(state: PathState, cap=cap):
@@ -790,8 +790,8 @@ def trace_rays(
                     jnp.sum(state.alive) > cap
                 )
 
-            def body_s(state: PathState, s=cur_seeds) -> PathState:
-                return bounce_step(scene, policy, accumulation, s, state)
+            def body_s(state: PathState, s=cur_seeds, a=cur_acc) -> PathState:
+                return bounce_step(scene, policy, a, s, state)
 
             mid = jax.lax.while_loop(cond_s, body_s, cur)
             order, _ = compact_order(mid.alive)
@@ -806,9 +806,13 @@ def trace_rays(
             scatters.append((idx, mid.radiance))
             cur = jax.tree.map(take, mid)
             cur_seeds = cur_seeds[idx]
+            if getattr(cur_acc, "ndim", 0) >= 1:
+                # per-lane accumulation indices (render_pass k_passes > 1)
+                # narrow together with the lanes they key
+                cur_acc = cur_acc[idx]
 
         def body_f(state: PathState) -> PathState:
-            return bounce_step(scene, policy, accumulation, cur_seeds, state)
+            return bounce_step(scene, policy, cur_acc, cur_seeds, state)
 
         fin = jax.lax.while_loop(cond, body_f, cur)
         radiance = fin.radiance
@@ -1017,6 +1021,7 @@ def render_pass(
     npix: int = None,
     vma_axes: tuple = (),
     restir_in=None,
+    k_passes: int = 1,
 ) -> Vec3:
     """One progressive sample for a contiguous flat-pixel range: returns
     radiance Vec3 with [npix] flat arrays (row 0 = bottom scanline, as in
@@ -1030,11 +1035,20 @@ def render_pass(
     `restir_in` ([3, npix] f32: light index (-1=empty), W, count — raster
     pixel order) enables ReSTIR temporal/spatial reuse when
     policy.light_sampling='restir'; the return becomes
-    (flat, count, restir_out [3, npix])."""
+    (flat, count, restir_out [3, npix]).
+
+    `k_passes > 1` traces k consecutive accumulation passes as ONE wide
+    wavefront (lane block i carries accumulation+i); each lane's radiance
+    is bit-identical to the sequential pass that would have produced it —
+    the counter RNG keys every draw by (accumulation, pixel), so batching
+    passes only amortizes fixed per-op XLA overheads on small frames (the
+    hero 256x256 frame is 65k lanes, ~6% of a VPU-saturating launch).
+    Returns radiance as [k, npix] rows in that case."""
     if npix is None:
         npix = width * height
     spp = policy.samples_per_pixel
-    nrays = npix * spp
+    per_pass = npix * spp
+    nrays = per_pass * k_passes
     ray = jnp.arange(nrays, dtype=jnp.uint32)
     ray_order = policy.ray_order
     if ray_order == "auto":
@@ -1047,14 +1061,18 @@ def render_pass(
     else:
         perm_np = None
     perm = None if perm_np is None else jnp.asarray(perm_np)
-    pos = ray // jnp.uint32(spp)
+    r_in_pass = ray % jnp.uint32(per_pass) if k_passes > 1 else ray
+    pos = r_in_pass // jnp.uint32(spp)
     local = perm[pos] if perm is not None else pos
     i = jnp.asarray(pixel_start, jnp.uint32) + local
-    sample = ray % jnp.uint32(spp)
+    sample = r_in_pass % jnp.uint32(spp)
     x = (i % jnp.uint32(width)).astype(jnp.int32)
     y = (i // jnp.uint32(width)).astype(jnp.int32)
     seeds = pixel_seeds_from_index(i, width, policy, sample)
     accumulation = jnp.asarray(accumulation, jnp.uint32)
+    acc_lane = (
+        accumulation + ray // jnp.uint32(per_pass) if k_passes > 1 else None
+    )
 
     chunk = min(policy.rays_per_chunk, nrays)
     padded = -(-nrays // chunk) * chunk
@@ -1063,6 +1081,10 @@ def render_pass(
         return jnp.pad(a, (0, padded - nrays))
 
     use_restir = restir_in is not None and policy.light_sampling == "restir"
+    assert not (use_restir and k_passes > 1), (
+        "ReSTIR reservoirs chain sequentially across passes; k_passes must "
+        "be 1 in restir mode"
+    )
     if use_restir:
         # reservoirs per ray position: gather the pixel's reservoir
         res_pos = (
@@ -1079,14 +1101,17 @@ def render_pass(
     xs = (pad(x).reshape(-1, chunk), pad(y).reshape(-1, chunk), pad(seeds).reshape(-1, chunk))
     if use_restir:
         xs = xs + res_pos
+    if acc_lane is not None:
+        xs = xs + (pad(acc_lane).reshape(-1, chunk),)
 
     def chunk_fn(args):
         cx, cy, cseed = args[:3]
+        acc_arg = args[-1] if acc_lane is not None else accumulation
         p0, d0 = generate_camera_rays(
-            scene.camera, cx, cy, accumulation, cseed, policy.enable_dof, policy
+            scene.camera, cx, cy, acc_arg, cseed, policy.enable_dof, policy
         )
         res = tuple(args[3:]) if use_restir else None
-        return trace_rays(scene, policy, accumulation, cseed, p0, d0, vma_axes,
+        return trace_rays(scene, policy, acc_arg, cseed, p0, d0, vma_axes,
                           res_in=res)
 
     res_flat = None
@@ -1117,15 +1142,25 @@ def render_pass(
         # per-pixel sum over the spp samples of this pass; the resolve
         # divides by spp (estimator.resolve)
         flat = Vec3(
-            flat.x.reshape(npix, spp).sum(axis=1),
-            flat.y.reshape(npix, spp).sum(axis=1),
-            flat.z.reshape(npix, spp).sum(axis=1),
+            flat.x.reshape(-1, spp).sum(axis=1),
+            flat.y.reshape(-1, spp).sum(axis=1),
+            flat.z.reshape(-1, spp).sum(axis=1),
+        )
+    if k_passes > 1:
+        # [k, npix] rows, one per accumulation pass
+        flat = Vec3(
+            flat.x.reshape(k_passes, npix),
+            flat.y.reshape(k_passes, npix),
+            flat.z.reshape(k_passes, npix),
         )
     inv = None
     if perm is not None:
         # back to raster pixel order (gather by the inverse permutation)
         inv = jnp.asarray(np.argsort(perm_np).astype(np.uint32))
-        flat = Vec3(flat.x[inv], flat.y[inv], flat.z[inv])
+        if k_passes > 1:
+            flat = Vec3(flat.x[:, inv], flat.y[:, inv], flat.z[:, inv])
+        else:
+            flat = Vec3(flat.x[inv], flat.y[inv], flat.z[inv])
     if use_restir:
         # reservoirs back to per-pixel raster order (first sample per pixel)
         rs = [a.reshape(npix, spp)[:, 0] if spp > 1 else a for a in res_flat]

@@ -102,10 +102,16 @@ def with_grid(scene: Scene, res: int = 32, max_per_cell: int = 16) -> Scene:
     return dataclasses.replace(scene, sphere_grid=sphere_grid, tri_grid=tri_grid)
 
 
-def with_pallas_clusters(scene: Scene, cluster_size: int = 128) -> Scene:
+def with_pallas_clusters(
+    scene: Scene, cluster_size: int = 128, method: str = "sah"
+) -> Scene:
     """Attach clusters sized for the Pallas traversal kernel (accel='pallas',
     ops/pallas/traverse_kernel.py): K = the VPU lane width so one cluster
-    battery is one full-width op stream."""
+    battery is one full-width op stream. method='sah' (default) cuts a
+    binned-SAH tree into maximal <=K-prim leaves (tight boxes, partial
+    fill); method='morton' is the fixed-size morton chop."""
+    if method == "sah":
+        return _with_sah_clusters(scene, cluster_size)
     n_sph = -(-scene.spheres.count // cluster_size)
     sc = with_clusters(scene, num_clusters=n_sph)
     if scene.triangles is not None:
@@ -115,6 +121,39 @@ def with_pallas_clusters(scene: Scene, cluster_size: int = 128) -> Scene:
             sc2 = with_clusters(scene, num_clusters=n_tri)
             sc = dataclasses.replace(sc, tri_clusters=sc2.tri_clusters)
     return sc
+
+
+def _with_sah_clusters(scene: Scene, cluster_size: int) -> Scene:
+    import numpy as _np
+
+    from ..ops import clustered
+
+    centers = _np.stack(
+        [_np.asarray(scene.spheres.center.x), _np.asarray(scene.spheres.center.y),
+         _np.asarray(scene.spheres.center.z)], axis=1,
+    )
+    radii = _np.sqrt(_np.asarray(scene.spheres.radius_sq))
+    mins, maxs = builder.sphere_bounds(centers, radii)
+    rows = _np.concatenate(
+        [centers, _np.asarray(scene.spheres.radius_sq)[:, None]], axis=1
+    )
+    sphere_clusters = clustered.build_clusters_sah(
+        mins, maxs, rows, cluster_size=cluster_size, kind="sphere"
+    )
+    tri_clusters = None
+    if scene.triangles is not None:
+        tri = scene.triangles
+        v0 = _np.stack([_np.asarray(tri.v0.x), _np.asarray(tri.v0.y), _np.asarray(tri.v0.z)], 1)
+        e1 = _np.stack([_np.asarray(tri.e1.x), _np.asarray(tri.e1.y), _np.asarray(tri.e1.z)], 1)
+        e2 = _np.stack([_np.asarray(tri.e2.x), _np.asarray(tri.e2.y), _np.asarray(tri.e2.z)], 1)
+        tmins, tmaxs = builder.triangle_bounds(v0, v0 + e1, v0 + e2)
+        trows = _np.concatenate([v0, e1, e2], axis=1)
+        tri_clusters = clustered.build_clusters_sah(
+            tmins, tmaxs, trows, cluster_size=cluster_size, kind="triangle"
+        )
+    return dataclasses.replace(
+        scene, sphere_clusters=sphere_clusters, tri_clusters=tri_clusters
+    )
 
 
 def with_clusters(scene: Scene, num_clusters: int = 64) -> Scene:

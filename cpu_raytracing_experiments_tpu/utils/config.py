@@ -88,6 +88,14 @@ class RendererPolicy:
     # ms/pass at 384x384.
 
     # TPU-specific execution knobs (no reference equivalent):
+    passes_per_launch: object = "auto"  # int | 'auto': accumulation passes
+    # traced per wavefront launch (estimator.accumulate_n). Small frames
+    # leave the VPU idle between op launches (65k-lane hero passes measured
+    # ~3 ms while 524k-lane passes of 8x the work cost ~6 ms); batching k
+    # passes into one launch with per-lane accumulation indices is
+    # BIT-IDENTICAL to sequential passes (counter RNG) and amortizes the
+    # fixed overhead. 'auto' = fill rays_per_chunk, cap 8; restir forces 1
+    # (its reservoir chain is inherently sequential).
     rays_per_chunk: int = 1 << 19  # microbatch size for the wavefront loop
     # (2^19 measured fastest on v5e at 1080p: 84 Msamples/s vs 75 at 2^18);
     # bounds the [rays x prims] intersection working set to fit on-chip

@@ -206,3 +206,48 @@ def test_coherence_order_roundtrip_and_grouping():
         for kv in np.unique(k):
             grp = seg_ids[k == kv]
             assert (np.diff(grp) > 0).all()
+
+
+def test_sah_clusters_invariants_and_parity():
+    """build_clusters_sah: every prim appears exactly once, cluster AABBs
+    contain their prims, and the traversal kernel over SAH clusters matches
+    the brute battery exactly (closest + shadow)."""
+    P = 300
+    centers = RNG.uniform(-6, 6, (P, 3)).astype(np.float32)
+    radii = RNG.uniform(0.1, 0.5, P).astype(np.float32)
+    rows = np.concatenate([centers, (radii ** 2)[:, None]], axis=1)
+    mins, maxs = centers - radii[:, None], centers + radii[:, None]
+    cp = clustered.build_clusters_sah(mins, maxs, rows, cluster_size=64,
+                                      kind="sphere")
+    order = np.asarray(cp.order)
+    ids = order[order >= 0]
+    assert sorted(ids.tolist()) == list(range(P))  # exact partition
+    lo = np.stack([np.asarray(cp.lo.x), np.asarray(cp.lo.y),
+                   np.asarray(cp.lo.z)], 1)
+    hi = np.stack([np.asarray(cp.hi.x), np.asarray(cp.hi.y),
+                   np.asarray(cp.hi.z)], 1)
+    k = cp.cluster_size
+    for c in range(cp.num_clusters):
+        cid = order[c * k:(c + 1) * k]
+        cid = cid[cid >= 0]
+        assert (mins[cid] >= lo[c] - 1e-4).all()
+        assert (maxs[cid] <= hi[c] + 1e-4).all()
+    geom = (
+        Vec3(*[jnp.asarray(centers[:, i]) for i in range(3)]),
+        jnp.asarray(radii ** 2),
+    )
+    p, d = _rays(500)
+    t_ref, id_ref = intersect.intersect_spheres(p, d, *geom)
+    t_pk, id_pk = tk.intersect_clustered_pallas(cp, p, d, tile_r=128,
+                                                interpret=True)
+    np.testing.assert_array_equal(np.asarray(id_pk), np.asarray(id_ref))
+    # t agrees to f32 rounding (the kernel and the brute battery fuse the
+    # same formula differently; ids are the exact contract)
+    np.testing.assert_allclose(np.asarray(t_pk), np.asarray(t_ref), rtol=5e-5)
+    tfar = jnp.asarray(RNG.uniform(0.5, 20.0, 500).astype(np.float32))
+    occ_ref = np.asarray(intersect.occluded_spheres(p, d, tfar, *geom))
+    occ_pk = np.asarray(
+        tk.occluded_clustered_pallas(cp, p, d, tfar, tile_r=128,
+                                     interpret=True)
+    )
+    np.testing.assert_array_equal(occ_pk, occ_ref)
