@@ -98,7 +98,13 @@ class RendererPolicy:
     # (its reservoir chain is inherently sequential).
     rays_per_chunk: int = 1 << 19  # microbatch size for the wavefront loop
     # (2^19 measured fastest on v5e at 1080p: 84 Msamples/s vs 75 at 2^18);
-    # bounds the [rays x prims] intersection working set to fit on-chip
+    # bounds the [rays x prims] intersection working set to fit on-chip.
+    # NOTE: whether a launch runs inline (fits one chunk) or through the
+    # lax.map microbatch loop changes XLA's fusion context, which rounds a
+    # few floats differently; Russian-roulette threshold flips then diverge
+    # the affected pixels' paths entirely. Determinism/resume/sharding
+    # bit-exactness holds for a FIXED schedule (same chunking, same
+    # passes_per_launch); schedule changes are equal only in distribution.
     sky_bug_compat: bool = False  # reproduce Renderer.hpp:416-418 (throughput.r
     # multiplies all three sky channels) for bit-compatibility testing
     russian_roulette: bool = True

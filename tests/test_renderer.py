@@ -192,3 +192,55 @@ def test_nonstandard_bucket_count():
     img = r.render_spp(6, tonemap=False)  # 6 = 2 rounds of 3 buckets
     assert r.state.buckets.shape[0] == 3
     np.testing.assert_allclose(img, 1.0, atol=1e-5)
+
+
+def test_wide_launch_bit_identical():
+    """accumulate_wide / passes_per_launch: k passes traced as one wide
+    wavefront launch (per-lane accumulation indices) must be bit-identical
+    to k sequential passes — the counter RNG keys every draw by
+    (accumulation, pixel), never by launch shape. Covers spp>1 and a
+    narrowing-enabled policy. rays_per_chunk is kept >= the widest launch
+    so both schedules compile inline: the lax.map microbatch body rounds
+    some fusions differently than inline execution (a pre-existing
+    rays_per_chunk property, see utils/config.py), and RR threshold flips
+    amplify any rounding change — same-schedule comparisons are the
+    bit-exact contract."""
+    scene = builders.default_scene(32, 32)
+    for pol in (
+        RendererPolicy(max_bounces=8, rays_per_chunk=8192),
+        RendererPolicy(max_bounces=8, rays_per_chunk=16384,
+                       samples_per_pixel=2),
+        RendererPolicy(max_bounces=6, rays_per_chunk=8192,
+                       narrow_wavefront=True, narrow_factors=(2,)),
+    ):
+        seq = RendererPolicy(**{
+            **{f.name: getattr(pol, f.name)
+               for f in __import__("dataclasses").fields(pol)},
+            "passes_per_launch": 1,
+        })
+        a = Renderer(scene, seq, 32, 32)
+        for _ in range(6):
+            a.accumulate(1)
+        b = Renderer(scene, pol, 32, 32)  # auto k: 6 passes in one launch
+        b.accumulate(6)
+        np.testing.assert_array_equal(
+            np.asarray(a.state.buckets), np.asarray(b.state.buckets)
+        )
+        assert int(b.state.accumulations) == 6
+
+
+def test_accumulate_n_auto_width_matches_sequential():
+    """accumulate_n with 'auto' launch width (wide path + remainder) equals
+    the sequential schedule bit-exactly, and the counter advances by n."""
+    scene = builders.cornell_box_scene(24, 24)
+    pol = RendererPolicy(max_bounces=5, rays_per_chunk=4096)
+    a_state = estimator.RenderState.create(24, 24, pol)
+    a_state = estimator.accumulate_n(scene, pol, a_state, 24, 24, 7)
+    b = Renderer(scene, RendererPolicy(max_bounces=5, rays_per_chunk=4096,
+                                       passes_per_launch=1), 24, 24)
+    for _ in range(7):
+        b.accumulate(1)
+    np.testing.assert_array_equal(
+        np.asarray(a_state.buckets), np.asarray(b.state.buckets)
+    )
+    assert int(a_state.accumulations) == 7
