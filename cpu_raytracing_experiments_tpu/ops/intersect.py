@@ -35,6 +35,15 @@ PALLAS_MIN_PRIMS = 192  # below this, the dense [R x P] brute battery beats
 # mesh scenes' 2-sphere geometry was paying that twice per bounce
 
 
+def _tile_for(kw: dict, cp) -> dict:
+    """Resolve tile_r='auto' per cluster pack: small packs (few clusters)
+    amortize fixed per-tile planning cost better at 128 rays/tile; large
+    packs want the wider 256-ray tile (measured, benchmarks/mesh_ab.py)."""
+    if kw.get("tile_r") == "auto":
+        return dict(kw, tile_r=128 if cp.num_clusters < 512 else 256)
+    return kw
+
+
 def _pallas_kw(policy) -> dict:
     """pallas_* knobs from a RendererPolicy (defaults when policy is None)."""
     if policy is None:
@@ -284,7 +293,8 @@ def intersect_scene(
                 p, d, scene.spheres.center, scene.spheres.radius_sq
             )
         else:
-            tfar, prim_id = run(scene.sphere_clusters, p, d, **kw)
+            cp = scene.sphere_clusters
+            tfar, prim_id = run(cp, p, d, **_tile_for(kw, cp))
         is_tri = jnp.zeros_like(prim_id, bool)
         if scene.triangles is not None:
             if scene.triangles.count < PALLAS_MIN_PRIMS or scene.tri_clusters is None:
@@ -293,7 +303,8 @@ def intersect_scene(
                     p, d, tri.v0, tri.e1, tri.e2, tfar=tfar
                 )
             else:
-                t2, id2 = run(scene.tri_clusters, p, d, tfar0=tfar, **kw)
+                cp = scene.tri_clusters
+                t2, id2 = run(cp, p, d, tfar0=tfar, **_tile_for(kw, cp))
             hit_tri = id2 >= 0
             prim_id = jnp.where(hit_tri, id2, prim_id)
             tfar = jnp.where(hit_tri, t2, tfar)
@@ -393,14 +404,16 @@ def occluded_scene(
                 p, d, tfar, scene.spheres.center, scene.spheres.radius_sq
             )
         else:
-            occ = run(scene.sphere_clusters, p, d, tfar, **kw)
+            cp = scene.sphere_clusters
+            occ = run(cp, p, d, tfar, **_tile_for(kw, cp))
         if scene.triangles is not None:
             rest = jnp.where(occ, 0.0, tfar)
             if scene.triangles.count < PALLAS_MIN_PRIMS or scene.tri_clusters is None:
                 tri = scene.triangles
                 occ = occ | occluded_triangles(p, d, rest, tri.v0, tri.e1, tri.e2)
             else:
-                occ = occ | run(scene.tri_clusters, p, d, rest, **kw)
+                cp = scene.tri_clusters
+                occ = occ | run(cp, p, d, rest, **_tile_for(kw, cp))
         return occ
     if accel == "clustered" and scene.sphere_clusters is not None:
         from . import clustered as _cl

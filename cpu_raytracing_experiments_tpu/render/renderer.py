@@ -1056,7 +1056,8 @@ def render_pass(
     if ray_order == "tile":
         # pixel-block edge matched to the traversal-kernel tile: one kernel
         # tile of pallas_tile_rays rays covers one square screen block
-        edge = max(8, int(math.isqrt(max(policy.pallas_tile_rays, 64))))
+        tr = policy.pallas_tile_rays
+        edge = 16 if tr == "auto" else max(8, int(math.isqrt(max(tr, 64))))
         perm_np = _tile_pixel_order_np(width, npix, edge)
     else:
         perm_np = None

@@ -52,7 +52,9 @@ class RendererPolicy:
     # 'pallas' (the Pallas clustered-traversal kernel with per-tile sorted
     # visit lists + alive compaction — the large-scene production backend,
     # ops/pallas/traverse_kernel.py); use_bvh=True is an alias for accel='bvh'
-    pallas_tile_rays: int = 256  # rays per kernel tile (accel='pallas')
+    pallas_tile_rays: object = "auto"  # rays per kernel tile (accel='pallas'):
+    # int | 'auto' = 128 below 512 clusters, else 256 (mesh_ab measured:
+    # 20k tris C=232 tile=128 wins +8%, 100k tris C=1134 tile=256 wins +7%)
     pallas_sort_visits: bool = True  # front-to-back per-tile cluster order
     pallas_compact: bool = False  # alive-first ray compaction before traversal
     # (measured SLOWER on v5e: the gather/scatter of ray SoA costs ~25 ms per
