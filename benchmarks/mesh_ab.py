@@ -21,6 +21,7 @@ def main():
                     help="comma list of method[^K]:tile entries, e.g. "
                          "sah^64:128 for cluster_size=64, tile_r=128")
     ap.add_argument("--passes", type=int, default=5)
+    ap.add_argument("--mxu", action="store_true")
     ap.add_argument("--size", type=int, default=384)
     ap.add_argument("--bounces", type=int, default=8)
     args = ap.parse_args()
@@ -66,7 +67,8 @@ def main():
             }), flush=True)
         scene = scenes[key]
         policy = RendererPolicy(max_bounces=args.bounces, accel="pallas",
-                                pallas_tile_rays=int(tile))
+                                pallas_tile_rays=int(tile),
+                                pallas_mxu=args.mxu)
 
         @jax.jit
         def counted(scene, policy=policy):
@@ -95,7 +97,7 @@ def main():
         per_pass = dt / args.passes
         print(json.dumps({
             "mesh": args.mesh, "method": method, "K": ksize,
-            "tile": int(tile),
+            "tile": int(tile), "mxu": args.mxu,
             "ms_per_pass": round(per_pass * 1e3, 2),
             "Mrays_per_s": round(rays_per_pass / per_pass / 1e6, 2),
         }), flush=True)

@@ -60,9 +60,11 @@ def main():
     ap.add_argument("--configs", default="1,2,3,4")
     ap.add_argument("--passes", type=int, default=10)
     ap.add_argument("--mesh-method", default="sah")
-    ap.add_argument("--tile", type=int, default=256)
+    ap.add_argument("--tile", default="auto",
+                    help="rays per kernel tile (int or 'auto')")
     args = ap.parse_args()
     which = set(args.configs.split(","))
+    tile = args.tile if args.tile == "auto" else int(args.tile)
 
     from cpu_raytracing_experiments_tpu.scene import accel, builders
     from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
@@ -99,13 +101,13 @@ def main():
             method=args.mesh_method)
         measure(f"5a. mesh 20k ({args.mesh_method}, tile={args.tile})", scene,
                 RendererPolicy(max_bounces=8, accel="pallas",
-                               pallas_tile_rays=args.tile), 384, 384, 5)
+                               pallas_tile_rays=tile), 384, 384, 5)
     if "5b" in which:
         scene = accel.with_pallas_clusters(
             builders.mesh_scene(384, 384, uv_res=224), method=args.mesh_method)
         measure(f"5b. mesh 100k ({args.mesh_method}, tile={args.tile})", scene,
                 RendererPolicy(max_bounces=8, accel="pallas",
-                               pallas_tile_rays=args.tile), 384, 384, 5)
+                               pallas_tile_rays=tile), 384, 384, 5)
 
 
 if __name__ == "__main__":

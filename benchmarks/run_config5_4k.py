@@ -38,8 +38,9 @@ def log(**kw):
 def main():
     scene = builders.mesh_scene(W, H, uv_res=224)
     ntri = scene.triangles.count
-    sc = accel.with_pallas_clusters(scene, cluster_size=128)
-    pol = RendererPolicy(max_bounces=8, accel="pallas", pallas_tile_rays=256)
+    sc = accel.with_pallas_clusters(scene)  # auto: K=512 at 100k tris
+    pol = RendererPolicy(max_bounces=8, accel="pallas")  # tile auto
+
     r = Renderer(sc, pol, W, H)
     done = 0
     if checkpoint.exists(CKPT):

@@ -127,7 +127,7 @@ def main():
     subdiv = 3 if q else 5  # 5 -> 20,480 tris
     w = 128 if q else 384
     scene = accel.with_pallas_clusters(builders.mesh_scene(w, w, subdivisions=subdiv))
-    pol = RendererPolicy(max_bounces=8, accel="pallas", pallas_tile_rays=256)
+    pol = RendererPolicy(max_bounces=8, accel="pallas")
     if q:
         pol = RendererPolicy(
             max_bounces=8, accel="pallas", pallas_tile_rays=64,

@@ -153,6 +153,49 @@ def _triangle_anyhit_battery(px, py, pz, dx, dy, dz, tf, attrs, c):
     return _triangle_battery(px, py, pz, dx, dy, dz, attrs, c) < tf
 
 
+def _triangle_battery_mxu(pmat, dmat, attrs, c, k):
+    """Baldwin-Weber with the six ray.(constant-vector) contractions batched
+    into two [TILE_R,3]x[3,3K] MXU matmuls (benchmarks/diag_mxu.py measured
+    the XLA-level analog 1.28x at the [R x 128] shape). q = p + t*d is
+    distributed: u = f1.p + t*(f1.d) + g1 — algebraically identical to the
+    VPU battery, float-rounding different (golden tolerance covers it).
+    precision=HIGHEST keeps the contraction f32-faithful (DEFAULT's 1-pass
+    bf16 measured id_agreement 0.67 — unusable)."""
+    (nx, ny, nz, d0, f1x, f1y, f1z, g1, f2x, f2y, f2z, g2) = attrs
+
+    def row(a, b, cc):  # [1, 3K]: n | f1 | f2 component rows
+        return jnp.concatenate(
+            [a[c][None, :], b[c][None, :], cc[c][None, :]], axis=1
+        )
+
+    m = jnp.concatenate(
+        [row(nx, f1x, f2x), row(ny, f1y, f2y), row(nz, f1z, f2z)], axis=0
+    )  # [3, 3K]
+
+    def dot(x):
+        return jax.lax.dot_general(
+            x, m, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    dd = dot(dmat)  # [TILE_R, 3K]
+    pp = dot(pmat)
+    den, f1d, f2d = dd[:, :k], dd[:, k : 2 * k], dd[:, 2 * k :]
+    pn, f1p, f2p = pp[:, :k], pp[:, k : 2 * k], pp[:, 2 * k :]
+    t = (d0[c][None, :] - pn) / den
+    u = f1p + t * f1d + g1[c][None, :]
+    v = f2p + t * f2d + g2[c][None, :]
+    valid = (
+        (jnp.abs(den) > 1e-12)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > 1e-6)
+    )
+    return jnp.where(valid, t, FLT_MAX)
+
+
 _BATTERIES = {"sphere": _sphere_battery, "triangle": _triangle_battery}
 _ANYHIT_BATTERIES = {
     "sphere": _sphere_anyhit_battery,
@@ -280,8 +323,9 @@ def _plan_visits(cp: ClusteredPrims, ray_in, t_tiles: int, tile_r: int,
 # ---------------------------------------------------------------------------
 # Traversal kernels (visit lists + entry distances as SMEM scalars)
 # ---------------------------------------------------------------------------
-def _make_closest_kernel(kind: str, k_prims: int):
+def _make_closest_kernel(kind: str, k_prims: int, mxu: bool = False):
     battery = _BATTERIES[kind]
+    use_mxu = mxu and kind == "triangle"
     n_attr = _N_ATTRS[kind]
 
     def kernel(*refs):
@@ -301,13 +345,19 @@ def _make_closest_kernel(kind: str, k_prims: int):
         bound = jnp.minimum(tfin[:], root)
         mx[0, 0] = jnp.max(jnp.where(ok, bound, -FLT_MAX))
         n = nvis[row, 0]
+        if use_mxu:  # [TILE_R, 3] ray matrices, hoisted out of the loop
+            pmat = jnp.concatenate([rpx, rpy, rpz], axis=1)
+            dmat = jnp.concatenate([rdx, rdy, rdz], axis=1)
 
         def cond(j):
             return (j < n) & (entry[row, j] < mx[0, 0])
 
         def body(j):
             c = visit[row, j]
-            t = battery(rpx, rpy, rpz, rdx, rdy, rdz, attrs, c)
+            if use_mxu:
+                t = _triangle_battery_mxu(pmat, dmat, attrs, c, k_prims)
+            else:
+                t = battery(rpx, rpy, rpz, rdx, rdy, rdz, attrs, c)
             best = jnp.min(t, axis=1, keepdims=True)
             # first-match min-iota instead of argmin: the (f32,i32)
             # tuple-reduce lowers poorly on the VPU (~13% of the whole
@@ -338,8 +388,9 @@ def _make_closest_kernel(kind: str, k_prims: int):
     return kernel
 
 
-def _make_shadow_kernel(kind: str):
+def _make_shadow_kernel(kind: str, k_prims: int = 0, mxu: bool = False):
     battery = _ANYHIT_BATTERIES[kind]
+    use_mxu = mxu and kind == "triangle"
     n_attr = _N_ATTRS[kind]
 
     def kernel(*refs):
@@ -360,13 +411,19 @@ def _make_shadow_kernel(kind: str):
         # worst unoccluded distance: clusters entirely beyond it can't occlude
         mx[0, 0] = jnp.max(jnp.where(ok, bound, -FLT_MAX))
         n = nvis[row, 0]
+        if use_mxu:
+            pmat = jnp.concatenate([rpx, rpy, rpz], axis=1)
+            dmat = jnp.concatenate([rdx, rdy, rdz], axis=1)
 
         def cond(j):
             return (j < n) & (entry[row, j] < mx[0, 0])
 
         def body(j):
             c = visit[row, j]
-            occ = battery(rpx, rpy, rpz, rdx, rdy, rdz, tf, attrs, c)
+            if use_mxu:
+                occ = _triangle_battery_mxu(pmat, dmat, attrs, c, k_prims) < tf
+            else:
+                occ = battery(rpx, rpy, rpz, rdx, rdy, rdz, tf, attrs, c)
             hit = jnp.any(occ, axis=1, keepdims=True) & ok
             occ_out[:] = jnp.where(hit, 1, occ_out[:])
 
@@ -451,7 +508,7 @@ def _ray_cols(arrs, rp):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_r", "sort", "interpret")
+    jax.jit, static_argnames=("tile_r", "sort", "interpret", "mxu")
 )
 def intersect_clustered_pallas(
     cp: ClusteredPrims,
@@ -462,6 +519,7 @@ def intersect_clustered_pallas(
     tile_r: int = DEFAULT_TILE_R,
     sort: bool = True,
     interpret: bool = False,
+    mxu: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Closest hit. Returns (tfar [R], prim_id [R] in ORIGINAL numbering,
     -1 = miss). `tfar0` seeds the search; `alive=False` lanes are planned
@@ -494,7 +552,7 @@ def intersect_clustered_pallas(
     col = pl.BlockSpec((tile_r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     table = pl.BlockSpec((c, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
     tfar, prim = pl.pallas_call(
-        _make_closest_kernel(cp.kind, k),
+        _make_closest_kernel(cp.kind, k, mxu),
         grid=(t_tiles,),
         in_specs=[smem_row(1), smem_row(c), smem_row(c)] + [slab_spec] * 6
         + [col] * 8 + [table] * n_attr,
@@ -514,7 +572,7 @@ def intersect_clustered_pallas(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_r", "sort", "interpret")
+    jax.jit, static_argnames=("tile_r", "sort", "interpret", "mxu")
 )
 def occluded_clustered_pallas(
     cp: ClusteredPrims,
@@ -524,6 +582,7 @@ def occluded_clustered_pallas(
     tile_r: int = DEFAULT_TILE_R,
     sort: bool = True,
     interpret: bool = False,
+    mxu: bool = False,
 ) -> jnp.ndarray:
     """Any-hit: True where some prim lies at t in [0, tfar). Lanes with
     tfar <= 0 plan no visits (the renderer masks invalid shadow rays by
@@ -549,7 +608,7 @@ def occluded_clustered_pallas(
     col = pl.BlockSpec((tile_r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     table = pl.BlockSpec((c, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
     occ = pl.pallas_call(
-        _make_shadow_kernel(cp.kind),
+        _make_shadow_kernel(cp.kind, k, mxu),
         grid=(t_tiles,),
         in_specs=[smem_row(1), smem_row(c), smem_row(c)] + [slab_spec] * 6
         + [col] * 8 + [table] * n_attr,
@@ -634,12 +693,12 @@ def _gather_vec3_padded(v: Vec3, idx, r, padval) -> Vec3:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_r", "sort", "interpret", "seg_len")
+    jax.jit, static_argnames=("tile_r", "sort", "interpret", "seg_len", "mxu")
 )
 def intersect_clustered_pallas_compact(
     cp, p, d, alive, tfar0=None, tile_r: int = DEFAULT_TILE_R,
     sort: bool = True, interpret: bool = False,
-    seg_len: int = DEFAULT_SEG_LEN,
+    seg_len: int = DEFAULT_SEG_LEN, mxu: bool = False,
 ):
     r = alive.shape[0]
     order, inv, rp = coherence_order(alive, d, seg_len)
@@ -649,17 +708,18 @@ def intersect_clustered_pallas_compact(
         _gather_vec3_padded(d, order, r, 1.0),
         tfar0=None if tfar0 is None else _pad1(tfar0, rp - r, 0.0)[order],
         alive=_pad1(alive, rp - r, False)[order],
-        tile_r=tile_r, sort=sort, interpret=interpret,
+        tile_r=tile_r, sort=sort, interpret=interpret, mxu=mxu,
     )
     return tfar[inv[:r]], prim[inv[:r]]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_r", "sort", "interpret", "seg_len")
+    jax.jit, static_argnames=("tile_r", "sort", "interpret", "seg_len", "mxu")
 )
 def occluded_clustered_pallas_compact(
     cp, p, d, tfar, tile_r: int = DEFAULT_TILE_R, sort: bool = True,
     interpret: bool = False, seg_len: int = DEFAULT_SEG_LEN,
+    mxu: bool = False,
 ):
     r = tfar.shape[0]
     order, inv, rp = coherence_order(tfar > 0.0, d, seg_len)
@@ -668,6 +728,6 @@ def occluded_clustered_pallas_compact(
         _gather_vec3_padded(p, order, r, 1e30),
         _gather_vec3_padded(d, order, r, 1.0),
         _pad1(tfar, rp - r, 0.0)[order],
-        tile_r=tile_r, sort=sort, interpret=interpret,
+        tile_r=tile_r, sort=sort, interpret=interpret, mxu=mxu,
     )
     return occ[inv[:r]]

@@ -103,13 +103,22 @@ def with_grid(scene: Scene, res: int = 32, max_per_cell: int = 16) -> Scene:
 
 
 def with_pallas_clusters(
-    scene: Scene, cluster_size: int = 128, method: str = "sah"
+    scene: Scene, cluster_size="auto", method: str = "sah"
 ) -> Scene:
     """Attach clusters sized for the Pallas traversal kernel (accel='pallas',
-    ops/pallas/traverse_kernel.py): K = the VPU lane width so one cluster
-    battery is one full-width op stream. method='sah' (default) cuts a
-    binned-SAH tree into maximal <=K-prim leaves (tight boxes, partial
-    fill); method='morton' is the fixed-size morton chop."""
+    ops/pallas/traverse_kernel.py): K is a multiple of the VPU lane width so
+    one cluster battery is a whole number of full-width op streams.
+    method='sah' (default) cuts a binned-SAH tree into maximal <=K-prim
+    leaves (tight boxes, partial fill); method='morton' is the fixed-size
+    morton chop. cluster_size='auto' picks the measured sweet spot by prim
+    count (benchmarks/mesh_ab.py K-sweep: 20k tris peak at K=256, 100k at
+    K=512 — bigger scenes amortize per-visit fixed cost over bigger
+    batteries)."""
+    if cluster_size == "auto":
+        p = scene.spheres.count
+        if scene.triangles is not None:
+            p = max(p, scene.triangles.count)
+        cluster_size = 256 if p < 50_000 else 512
     if method == "sah":
         return _with_sah_clusters(scene, cluster_size)
     n_sph = -(-scene.spheres.count // cluster_size)

@@ -52,6 +52,8 @@ class RendererPolicy:
     # 'pallas' (the Pallas clustered-traversal kernel with per-tile sorted
     # visit lists + alive compaction — the large-scene production backend,
     # ops/pallas/traverse_kernel.py); use_bvh=True is an alias for accel='bvh'
+    pallas_mxu: bool = False  # triangle narrow phase as [R,3]x[3,3K] MXU
+    # matmuls inside the traversal kernel (precision=HIGHEST); experimental
     pallas_tile_rays: object = "auto"  # rays per kernel tile (accel='pallas'):
     # int | 'auto' = 128 below 512 clusters, else 256 (mesh_ab measured:
     # 20k tris C=232 tile=128 wins +8%, 100k tris C=1134 tile=256 wins +7%)
