@@ -22,6 +22,8 @@ def main():
                          "sah^64:128 for cluster_size=64, tile_r=128")
     ap.add_argument("--passes", type=int, default=5)
     ap.add_argument("--mxu", action="store_true")
+    ap.add_argument("--plan", default="ray",
+                    choices=["ray", "tilebox", "hybrid"])
     ap.add_argument("--size", type=int, default=384)
     ap.add_argument("--bounces", type=int, default=8)
     args = ap.parse_args()
@@ -68,7 +70,7 @@ def main():
         scene = scenes[key]
         policy = RendererPolicy(max_bounces=args.bounces, accel="pallas",
                                 pallas_tile_rays=int(tile),
-                                pallas_mxu=args.mxu)
+                                pallas_mxu=args.mxu, pallas_plan=args.plan)
 
         @jax.jit
         def counted(scene, policy=policy):
@@ -97,7 +99,7 @@ def main():
         per_pass = dt / args.passes
         print(json.dumps({
             "mesh": args.mesh, "method": method, "K": ksize,
-            "tile": int(tile), "mxu": args.mxu,
+            "tile": int(tile), "mxu": args.mxu, "plan": args.plan,
             "ms_per_pass": round(per_pass * 1e3, 2),
             "Mrays_per_s": round(rays_per_pass / per_pass / 1e6, 2),
         }), flush=True)

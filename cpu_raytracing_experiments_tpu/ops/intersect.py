@@ -48,13 +48,14 @@ def _pallas_kw(policy) -> dict:
     """pallas_* knobs from a RendererPolicy (defaults when policy is None)."""
     if policy is None:
         return {"tile_r": _tk.DEFAULT_TILE_R, "sort": True, "compact": False,
-                "interpret": False, "mxu": False}
+                "interpret": False, "mxu": False, "plan": "ray"}
     return {
         "tile_r": policy.pallas_tile_rays,
         "sort": policy.pallas_sort_visits,
         "compact": policy.pallas_compact,
         "interpret": policy.pallas_interpret,
         "mxu": policy.pallas_mxu,
+        "plan": policy.pallas_plan,
     }
 
 

@@ -252,6 +252,127 @@ def _root_exit_bound(slabs, rpx, rpy, rpz, rdx, rdy, rdz):
     return jnp.where(hit, tmax * (1.0 + 1e-5), 0.0)
 
 
+def _tilebox_entry_row(slabs, px, py, pz, dx, dy, dz, tf, ok, c_real):
+    """Conservative per-TILE slab test via interval arithmetic: the tile's
+    rays are summarized by per-axis origin/direction intervals (masked
+    min/max scalars), and each cluster is tested against the whole bundle in
+    one [1, Cp] row — ~TILE_R x less planning compute than the per-ray
+    battery, at the price of a looser (superset) visit list. The returned
+    entry is a LOWER bound on any ray's true entry, so the traversal
+    kernel's front-to-back early exit stays conservative. Axes whose
+    direction interval spans 0 contribute (-inf, inf) — the bundle is
+    direction-incoherent there and the axis can't cull."""
+    big = FLT_MAX
+
+    def mn(a):
+        return jnp.min(jnp.where(ok, a, big))
+
+    def mx_(a):
+        return jnp.max(jnp.where(ok, a, -big))
+
+    lox, loy, loz, hix, hiy, hiz = (s[0:1, :] for s in slabs)  # [1, Cp]
+    any_ok = jnp.any(ok)
+    tfm = mx_(tf)
+
+    def axis(lo, hi, pl_, ph, dl, dh):
+        mixed = (dl <= 0.0) & (dh >= 0.0)
+        inv_a = 1.0 / jnp.where(mixed, 1.0, dh)
+        inv_b = 1.0 / jnp.where(mixed, 1.0, dl)
+        il = jnp.minimum(inv_a, inv_b)
+        ih = jnp.maximum(inv_a, inv_b)
+        a1, a2 = (lo - ph) * il, (lo - ph) * ih
+        a3, a4 = (lo - pl_) * il, (lo - pl_) * ih
+        b1, b2 = (hi - ph) * il, (hi - ph) * ih
+        b3, b4 = (hi - pl_) * il, (hi - pl_) * ih
+        t_lo_lb = jnp.minimum(jnp.minimum(a1, a2), jnp.minimum(a3, a4))
+        t_lo_ub = jnp.maximum(jnp.maximum(a1, a2), jnp.maximum(a3, a4))
+        t_hi_lb = jnp.minimum(jnp.minimum(b1, b2), jnp.minimum(b3, b4))
+        t_hi_ub = jnp.maximum(jnp.maximum(b1, b2), jnp.maximum(b3, b4))
+        tmin_lb = jnp.minimum(t_lo_lb, t_hi_lb)
+        tmax_ub = jnp.maximum(t_lo_ub, t_hi_ub)
+        return (jnp.where(mixed, -big, tmin_lb),
+                jnp.where(mixed, big, tmax_ub))
+
+    nlb, nub = axis(lox, hix, mn(px), mx_(px), mn(dx), mx_(dx))
+    ylb, yub = axis(loy, hiy, mn(py), mx_(py), mn(dy), mx_(dy))
+    zlb, zub = axis(loz, hiz, mn(pz), mx_(pz), mn(dz), mx_(dz))
+    entry = jnp.maximum(jnp.maximum(jnp.maximum(nlb, ylb), zlb), 0.0)
+    exit_ub = jnp.minimum(jnp.minimum(nub, yub), zub)
+    hit = (exit_ub >= entry) & (entry < tfm) & any_ok
+    row = jnp.where(hit, entry, big)
+    lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+    return jnp.where(lane < c_real, row, big)
+
+
+def _make_plan_kernel_tilebox(c_real: int, tile_r: int):
+    def kernel(*refs):
+        slabs = refs[:6]
+        (px, py, pz, dx, dy, dz, tf, valid) = refs[6:14]
+        out = refs[14]
+
+        def body(i, _):
+            s = pl.ds(i * tile_r, tile_r)
+            ok = valid[s, :] > 0
+            out[pl.ds(i, 1), :] = _tilebox_entry_row(
+                slabs, px[s, :], py[s, :], pz[s, :], dx[s, :], dy[s, :],
+                dz[s, :], tf[s, :], ok, c_real,
+            )
+            return 0
+
+        jax.lax.fori_loop(0, 8, body, 0)
+
+    return kernel
+
+
+def _make_plan_kernel_hybrid(c_real: int, tile_r: int):
+    """Per-tile planner dispatch: direction-sign-coherent tiles (all of
+    camera rays, most shadow/early-bounce tiles under tile ray order) take
+    the ~TILE_R x cheaper interval row; incoherent tiles — where the
+    interval test degenerates to visit-everything-at-entry-0 (measured 3.5x
+    WORSE end-to-end as the only planner, RESULTS.md) — keep the exact
+    per-ray battery."""
+
+    def kernel(*refs):
+        slabs = refs[:6]
+        (px, py, pz, dx, dy, dz, tf, valid) = refs[6:14]
+        out = refs[14]
+
+        def body(i, _):
+            s = pl.ds(i * tile_r, tile_r)
+            ok = valid[s, :] > 0
+
+            def sign_coherent(a):
+                lo = jnp.min(jnp.where(ok, a, FLT_MAX))
+                hi = jnp.max(jnp.where(ok, a, -FLT_MAX))
+                return (lo > 0.0) | (hi < 0.0)
+
+            coh = (
+                sign_coherent(dx[s, :])
+                & sign_coherent(dy[s, :])
+                & sign_coherent(dz[s, :])
+            )
+
+            @pl.when(coh)
+            def _():
+                out[pl.ds(i, 1), :] = _tilebox_entry_row(
+                    slabs, px[s, :], py[s, :], pz[s, :], dx[s, :], dy[s, :],
+                    dz[s, :], tf[s, :], ok, c_real,
+                )
+
+            @pl.when(jnp.logical_not(coh))
+            def _():
+                out[pl.ds(i, 1), :] = _tile_entry_row(
+                    slabs, px[s, :], py[s, :], pz[s, :], dx[s, :], dy[s, :],
+                    dz[s, :], tf[s, :], ok, c_real,
+                )
+
+            return 0
+
+        jax.lax.fori_loop(0, 8, body, 0)
+
+    return kernel
+
+
 def _make_plan_kernel(c_real: int, tile_r: int):
     """One program plans 8 consecutive tiles (output blocks must be
     8-sublane-divisible); the per-tile reduce is an unrolled static-slice
@@ -280,7 +401,7 @@ def _make_plan_kernel(c_real: int, tile_r: int):
 
 
 def _plan_visits(cp: ClusteredPrims, ray_in, t_tiles: int, tile_r: int,
-                 sort: bool, interpret: bool):
+                 sort: bool, interpret: bool, plan: str = "ray"):
     """Per ray-tile broad phase. Returns (visit [T,C] i32 cluster ids sorted
     near-to-far, entry [T,C] f32 sorted tile-min entry distances (FLT_MAX
     past the end), nvis [T,1] i32). T must be a multiple of 8 (both this
@@ -296,8 +417,12 @@ def _plan_visits(cp: ClusteredPrims, ray_in, t_tiles: int, tile_r: int,
     slab_spec = pl.BlockSpec((8, cpad), lambda i: (0, 0), memory_space=pltpu.VMEM)
     col8 = pl.BlockSpec((8 * tile_r, 1), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
+    maker = {
+        "tilebox": _make_plan_kernel_tilebox,
+        "hybrid": _make_plan_kernel_hybrid,
+    }.get(plan, _make_plan_kernel)
     entry_t = pl.pallas_call(
-        _make_plan_kernel(c, tile_r),
+        maker(c, tile_r),
         grid=(t_tiles // 8,),
         in_specs=[slab_spec] * 6 + [col8] * 8,
         out_specs=pl.BlockSpec((8, cpad), lambda i: (i, 0),
@@ -508,7 +633,7 @@ def _ray_cols(arrs, rp):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_r", "sort", "interpret", "mxu")
+    jax.jit, static_argnames=("tile_r", "sort", "interpret", "mxu", "plan")
 )
 def intersect_clustered_pallas(
     cp: ClusteredPrims,
@@ -520,6 +645,7 @@ def intersect_clustered_pallas(
     sort: bool = True,
     interpret: bool = False,
     mxu: bool = False,
+    plan: str = "ray",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Closest hit. Returns (tfar [R], prim_id [R] in ORIGINAL numbering,
     -1 = miss). `tfar0` seeds the search; `alive=False` lanes are planned
@@ -541,7 +667,7 @@ def intersect_clustered_pallas(
     )
     plan_in = ray_in[:6] + _ray_cols([(plan_tf, 0.0), (valid, 0.0)], rp)
     visit, entry, nvis = _plan_visits(cp, plan_in, t_tiles, tile_r, sort,
-                                      interpret)
+                                      interpret, plan)
     slabs, cpad = _slab_rows(cp)  # XLA dedupes with the plan kernel's copy
     attrs = _tables(cp)
     n_attr = len(attrs)
@@ -572,7 +698,7 @@ def intersect_clustered_pallas(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_r", "sort", "interpret", "mxu")
+    jax.jit, static_argnames=("tile_r", "sort", "interpret", "mxu", "plan")
 )
 def occluded_clustered_pallas(
     cp: ClusteredPrims,
@@ -583,6 +709,7 @@ def occluded_clustered_pallas(
     sort: bool = True,
     interpret: bool = False,
     mxu: bool = False,
+    plan: str = "ray",
 ) -> jnp.ndarray:
     """Any-hit: True where some prim lies at t in [0, tfar). Lanes with
     tfar <= 0 plan no visits (the renderer masks invalid shadow rays by
@@ -597,7 +724,7 @@ def occluded_clustered_pallas(
          (d.z, 1.0), (tfar, 0.0), (valid, 0.0)], rp,
     )
     visit, entry, nvis = _plan_visits(cp, ray_in, t_tiles, tile_r, sort,
-                                      interpret)
+                                      interpret, plan)
     slabs, cpad = _slab_rows(cp)
     attrs = _tables(cp)
     n_attr = len(attrs)
@@ -693,12 +820,13 @@ def _gather_vec3_padded(v: Vec3, idx, r, padval) -> Vec3:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_r", "sort", "interpret", "seg_len", "mxu")
+    jax.jit,
+    static_argnames=("tile_r", "sort", "interpret", "seg_len", "mxu", "plan")
 )
 def intersect_clustered_pallas_compact(
     cp, p, d, alive, tfar0=None, tile_r: int = DEFAULT_TILE_R,
     sort: bool = True, interpret: bool = False,
-    seg_len: int = DEFAULT_SEG_LEN, mxu: bool = False,
+    seg_len: int = DEFAULT_SEG_LEN, mxu: bool = False, plan: str = "ray",
 ):
     r = alive.shape[0]
     order, inv, rp = coherence_order(alive, d, seg_len)
@@ -708,18 +836,19 @@ def intersect_clustered_pallas_compact(
         _gather_vec3_padded(d, order, r, 1.0),
         tfar0=None if tfar0 is None else _pad1(tfar0, rp - r, 0.0)[order],
         alive=_pad1(alive, rp - r, False)[order],
-        tile_r=tile_r, sort=sort, interpret=interpret, mxu=mxu,
+        tile_r=tile_r, sort=sort, interpret=interpret, mxu=mxu, plan=plan,
     )
     return tfar[inv[:r]], prim[inv[:r]]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_r", "sort", "interpret", "seg_len", "mxu")
+    jax.jit,
+    static_argnames=("tile_r", "sort", "interpret", "seg_len", "mxu", "plan")
 )
 def occluded_clustered_pallas_compact(
     cp, p, d, tfar, tile_r: int = DEFAULT_TILE_R, sort: bool = True,
     interpret: bool = False, seg_len: int = DEFAULT_SEG_LEN,
-    mxu: bool = False,
+    mxu: bool = False, plan: str = "ray",
 ):
     r = tfar.shape[0]
     order, inv, rp = coherence_order(tfar > 0.0, d, seg_len)
@@ -728,6 +857,6 @@ def occluded_clustered_pallas_compact(
         _gather_vec3_padded(p, order, r, 1e30),
         _gather_vec3_padded(d, order, r, 1.0),
         _pad1(tfar, rp - r, 0.0)[order],
-        tile_r=tile_r, sort=sort, interpret=interpret, mxu=mxu,
+        tile_r=tile_r, sort=sort, interpret=interpret, mxu=mxu, plan=plan,
     )
     return occ[inv[:r]]

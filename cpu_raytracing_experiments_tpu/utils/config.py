@@ -54,6 +54,9 @@ class RendererPolicy:
     # ops/pallas/traverse_kernel.py); use_bvh=True is an alias for accel='bvh'
     pallas_mxu: bool = False  # triangle narrow phase as [R,3]x[3,3K] MXU
     # matmuls inside the traversal kernel (precision=HIGHEST); experimental
+    pallas_plan: str = "ray"  # broad phase: 'ray' = per-ray slab battery,
+    # 'tilebox' = conservative per-tile interval slab test (~TILE_R x less
+    # planning compute, superset visit lists)
     pallas_tile_rays: object = "auto"  # rays per kernel tile (accel='pallas'):
     # int | 'auto' = 128 below 512 clusters, else 256 (mesh_ab measured:
     # 20k tris C=232 tile=128 wins +8%, 100k tris C=1134 tile=256 wins +7%)

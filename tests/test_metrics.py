@@ -52,7 +52,10 @@ def test_stage_shares_smoke():
     shares = stage_shares(scene, pol, 16, 16, repeats=2)
     assert shares["full_s"] > 0
     assert 0 <= shares["nee_shadow_s"] <= shares["full_s"]
-    assert shares["first_bounce_s"] <= shares["full_s"] * 1.5
+    # generous margin: wall-clock ratios on a loaded 1-core CI box are noisy
+    # (first_bounce times a 1-bounce variant vs the 3-bounce full loop; a
+    # compile-cache miss or co-running job can invert them)
+    assert shares["first_bounce_s"] <= shares["full_s"] * 4.0
 
 
 def test_pixel_variance_map_and_adaptive_stop():
