@@ -251,3 +251,59 @@ def test_sah_clusters_invariants_and_parity():
                                      interpret=True)
     )
     np.testing.assert_array_equal(occ_pk, occ_ref)
+
+
+@pytest.mark.parametrize("plan", ["tilebox", "hybrid"])
+def test_plan_variants_match_ray_plan(plan):
+    """The conservative broad-phase planners (tilebox interval test, hybrid
+    coherent-tile dispatch) plan visit SUPERSETS of the per-ray plan, so
+    closest-hit t/id and shadow occlusion must be identical. Mixed
+    coherent/incoherent ray population exercises both hybrid branches."""
+    scene_cp, (center, rsq) = _sphere_setup(P=200, K=64)
+    R = 512
+    p = RNG.uniform(-8, 8, (R, 3)).astype(np.float32)
+    d = RNG.normal(size=(R, 3)).astype(np.float32)
+    d[: R // 2] = np.abs(d[: R // 2]) + 0.05  # coherent half (octant +++)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    pv = Vec3(*[jnp.asarray(p[:, i]) for i in range(3)])
+    dv = Vec3(*[jnp.asarray(d[:, i]) for i in range(3)])
+
+    t0, i0 = tk.intersect_clustered_pallas(
+        scene_cp, pv, dv, tile_r=64, interpret=True
+    )
+    t1, i1 = tk.intersect_clustered_pallas(
+        scene_cp, pv, dv, tile_r=64, interpret=True, plan=plan
+    )
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+    tf = jnp.where(t0 < 3e38, t0 * jnp.float32(0.99), jnp.float32(4.0))
+    o0 = tk.occluded_clustered_pallas(
+        scene_cp, pv, dv, tf, tile_r=64, interpret=True
+    )
+    o1 = tk.occluded_clustered_pallas(
+        scene_cp, pv, dv, tf, tile_r=64, interpret=True, plan=plan
+    )
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+
+def test_mxu_battery_matches_vpu():
+    """pallas_mxu=True (triangle narrow phase as two MXU dots) selects the
+    same prims; t agrees to float rounding (different fma association)."""
+    from cpu_raytracing_experiments_tpu.scene import accel as accel_mod
+    from cpu_raytracing_experiments_tpu.scene import builders
+
+    scene = accel_mod.with_pallas_clusters(
+        builders.mesh_scene(32, 32, subdivisions=3), cluster_size=64
+    )
+    cp = scene.tri_clusters
+    pv, dv = _rays(R=512)
+    t0, i0 = tk.intersect_clustered_pallas(cp, pv, dv, tile_r=64,
+                                           interpret=True)
+    t1, i1 = tk.intersect_clustered_pallas(cp, pv, dv, tile_r=64,
+                                           interpret=True, mxu=True)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    hit = np.asarray(i0) >= 0
+    np.testing.assert_allclose(
+        np.asarray(t0)[hit], np.asarray(t1)[hit], rtol=1e-5, atol=1e-6
+    )
