@@ -16,9 +16,16 @@ semantics (UpdateTracker, Application.cpp:335-358):
   /camera?rotate=0.05,0.1,0       (pitch, yaw, roll radians)
   /camera?focus=128,96            (depth-probe autofocus at pixel x,y)
   /camera?focal=85&fnumber=2.8&exposure=0.5   (lens sliders)
+
+Frames stream incrementally: /delta?gen=N diffs the current tonemapped
+frame against the last one sent and returns only the changed 32-px tiles
+as a packed PNG atlas (tiles quiesce byte-exactly as pixels converge, so
+late-render traffic collapses; a gen mismatch or first request returns the
+full frame). /frame.png remains for single-shot fetches.
 """
 from __future__ import annotations
 
+import base64
 import io
 import json
 import threading
@@ -28,10 +35,62 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
+_TILE = 32  # dirty-tile edge for /delta streaming
+
+
+def _frame_delta(state: dict, arr: np.ndarray, client_gen: int) -> dict:
+    """Diff `arr` (uint8 [H,W,3]) against the last frame sent to the (single)
+    streaming client. Returns {'gen', 'full', 'png' (bytes)} plus
+    {'tiles', 'tile'} for partial updates. Only the tiles actually shipped
+    are folded into the server's reference frame, so a tile that drifts
+    below next tick's diff keeps its pending difference until sent — no
+    accumulation drift."""
+    from PIL import Image
+
+    def encode(a):
+        buf = io.BytesIO()
+        Image.fromarray(a).save(buf, "PNG")
+        return buf.getvalue()
+
+    prev = state.get("frame")
+    if client_gen != state.get("gen", 0) or prev is None or prev.shape != arr.shape:
+        state["frame"] = arr.copy()
+        state["gen"] = state.get("gen", 0) + 1
+        return {"gen": state["gen"], "full": True, "png": encode(arr)}
+    h, w = arr.shape[:2]
+    t = _TILE
+    ph, pw = -(-h // t) * t, -(-w // t) * t
+
+    def pad(a):
+        return np.pad(a, ((0, ph - h), (0, pw - w), (0, 0)))
+
+    a4 = pad(arr).reshape(ph // t, t, pw // t, t, 3)
+    p4 = pad(prev).reshape(ph // t, t, pw // t, t, 3)
+    dirty = (a4 != p4).any(axis=(1, 3, 4))  # [th, tw]
+    ys, xs = np.nonzero(dirty)
+    state["gen"] += 1
+    if ys.size == 0:
+        return {"gen": state["gen"], "full": False, "tiles": [], "png": b""}
+    atlas = np.concatenate(
+        [a4[y, :, x, :, :] for y, x in zip(ys, xs)], axis=1
+    )  # [t, n*t, 3]
+    for y, x in zip(ys, xs):
+        y0, x0 = y * t, x * t
+        state["frame"][y0 : min(y0 + t, h), x0 : min(x0 + t, w)] = arr[
+            y0 : min(y0 + t, h), x0 : min(x0 + t, w)
+        ]
+    return {
+        "gen": state["gen"],
+        "full": False,
+        "tile": t,
+        "tiles": [[int(x) * t, int(y) * t] for y, x in zip(ys, xs)],
+        "png": encode(atlas),
+    }
+
 _PAGE = """<!doctype html>
 <html><head><title>tpu pathtracer</title><style>
 body { background:#111; color:#ccc; font-family:monospace; text-align:center }
-img { image-rendering:pixelated; margin-top:0.5em; max-width:95vw; cursor:crosshair }
+#frame { image-rendering:pixelated; margin-top:0.5em; max-width:95vw; cursor:crosshair }
 #panel { display:inline-block; text-align:left; margin:0.5em; font-size:12px }
 #panel label { display:inline-block; width:7em }
 input[type=range] { width:10em; vertical-align:middle }
@@ -41,7 +100,7 @@ input[type=range] { width:10em; vertical-align:middle }
 <canvas id="plot" width="320" height="48" style="display:block;margin:0.3em auto;background:#181818"></canvas>
 <div id="help">drag = look &nbsp; WASD/QE = fly (shift = fast) &nbsp;
 right-click = focus &nbsp; <a href="/frame.hdr" download style="color:#6cf">save .hdr</a></div>
-<img id="frame" src="/frame.png" draggable="false">
+<canvas id="frame"></canvas>
 <div id="panel">
  <div>
   <label>material</label><select id="mat"></select>
@@ -60,8 +119,23 @@ right-click = focus &nbsp; <a href="/frame.hdr" download style="color:#6cf">save
  </div>
 </div>
 <script>
-const img = document.getElementById('frame');
-let mats = [], cur = 0;
+const img = document.getElementById('frame');  // canvas: dirty tiles blit here
+const fctx = img.getContext('2d');
+let gen = -1, mats = [], cur = 0;
+async function pullDelta() {  // /delta dirty-tile stream
+  const d = await (await fetch('/delta?gen=' + gen)).json();
+  gen = d.gen;
+  if (!d.full && !d.tiles.length) return;
+  const bm = await createImageBitmap(
+    await (await fetch('data:image/png;base64,' + d.png_b64)).blob());
+  if (d.full) {
+    img.width = bm.width; img.height = bm.height;
+    fctx.drawImage(bm, 0, 0);
+  } else {
+    d.tiles.forEach(([x, y], i) =>
+      fctx.drawImage(bm, i * d.tile, 0, d.tile, d.tile, x, y, d.tile, d.tile));
+  }
+}
 const hex = v => Math.round(Math.pow(Math.min(Math.max(v,0),1), 1/2.2)*255)
   .toString(16).padStart(2,'0');
 const unhex = s => [1,3,5].map(i => Math.pow(parseInt(s.substr(i,2),16)/255, 2.2));
@@ -114,9 +188,9 @@ window.addEventListener('mousemove', ev => {
 img.addEventListener('contextmenu', ev => {  // right-click depth-probe focus
   ev.preventDefault();
   const r = img.getBoundingClientRect();
-  const px = Math.floor((ev.clientX - r.left) / r.width * img.naturalWidth);
-  const py = Math.floor((ev.clientY - r.top) / r.height * img.naturalHeight);
-  fetch(`/camera?focus=${px},${img.naturalHeight - 1 - py}`);  // y-up flip
+  const px = Math.floor((ev.clientX - r.left) / r.width * img.width);
+  const py = Math.floor((ev.clientY - r.top) / r.height * img.height);
+  fetch(`/camera?focus=${px},${img.height - 1 - py}`);  // y-up flip
 });
 setInterval(() => {  // 20 Hz control loop
   const q = [];
@@ -133,7 +207,7 @@ setInterval(() => {  // 20 Hz control loop
   if (q.length) fetch('/camera?' + q.join('&'));
 }, 50);
 async function tick() {
-  img.src = '/frame.png?' + Date.now();
+  await pullDelta();
   const s = await (await fetch('/stats')).json();
   document.getElementById('stats').textContent =
     `${s.width}x${s.height}  ${s.spp} spp  ${s.ms_per_pass.toFixed(1)} ms/pass  ` +
@@ -162,6 +236,8 @@ def make_server(scene, policy, width: int, height: int, port: int = 8000):
 
     renderer = Renderer(scene, policy, width, height)
     lock = threading.Lock()
+    delta_lock = threading.Lock()
+    delta_state: dict = {}
     # 64-sample frame-time history, like the reference HUD's CyclicBuffer
     # plot (Application.cpp:391-404)
     stats = {"ms_per_pass": 0.0, "spp": 0, "history": [0.0] * 64}
@@ -207,6 +283,17 @@ def make_server(scene, policy, width: int, height: int, port: int = 8000):
                 arr = (np.clip(img, 0, 1) * 255).astype(np.uint8)
                 Image.fromarray(arr).save(buf, "PNG")
                 self._send(200, "image/png", buf.getvalue())
+            elif path == "/delta":
+                q = parse_qs(urlparse(self.path).query)
+                cgen = int(q.get("gen", ["-1"])[0])
+                with lock:
+                    img = renderer.render(tonemap=True)
+                arr = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+                with delta_lock:
+                    d = _frame_delta(delta_state, arr, cgen)
+                png = d.pop("png")
+                d["png_b64"] = base64.b64encode(png).decode()
+                self._send(200, "application/json", json.dumps(d).encode())
             elif path == "/stats":
                 ms = stats["ms_per_pass"]
                 body = json.dumps(

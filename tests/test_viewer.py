@@ -123,3 +123,52 @@ def test_bad_requests(live):
     assert code == 400 and body.startswith(b"error:")
     code, _ = _get(base + "/nonexistent")
     assert code == 404
+
+
+def test_delta_streaming(live):
+    """Dirty-tile protocol: first request (gen mismatch) returns a full
+    frame; a gen-matched request on the converged white furnace returns no
+    tiles (every pixel is byte-stable); a stale gen forces a full refresh."""
+    base, _ = live
+    # wait until the worker has at least one pass in (frame non-black)
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        if json.loads(_get(base + "/stats")[1])["spp"] > 0:
+            break
+        time.sleep(0.2)
+    code, body = _get(base + "/delta?gen=-1")
+    assert code == 200
+    d = json.loads(body)
+    assert d["full"] is True and len(d["png_b64"]) > 0
+    gen = d["gen"]
+
+    # matched gen -> partial update (tile list may be empty or not: earlier
+    # tests in this module edited the scene, so pixels can still be moving)
+    code, body = _get(base + f"/delta?gen={gen}")
+    d2 = json.loads(body)
+    assert code == 200 and d2["gen"] == gen + 1 and d2["full"] is False
+    if d2["tiles"]:
+        assert d2["tile"] == 32
+        assert all(x % 32 == 0 and y % 32 == 0 for x, y in d2["tiles"])
+
+    # stale generation -> full frame again
+    code, body = _get(base + "/delta?gen=0")
+    d3 = json.loads(body)
+    assert d3["full"] is True
+
+    # unit check of the diff core: a one-pixel change ships exactly one tile
+    import numpy as np
+    from cpu_raytracing_experiments_tpu.viewer import _frame_delta
+
+    st = {}
+    a = np.zeros((48, 80, 3), np.uint8)
+    full = _frame_delta(st, a, client_gen=-1)
+    assert full["full"] is True
+    b = a.copy()
+    b[40, 70] = 255  # tile (y=32..47, x=64..79) — a padded edge tile
+    part = _frame_delta(st, b, client_gen=full["gen"])
+    assert part["full"] is False and part["tiles"] == [[64, 32]]
+    assert part["tile"] == 32
+    # the shipped tile is folded into the reference: next delta is empty
+    again = _frame_delta(st, b, client_gen=part["gen"])
+    assert again["tiles"] == []
