@@ -703,6 +703,7 @@ def trace_rays(
     d0: Vec3,
     vma_axes: tuple = (),
     res_in=None,
+    alive0=None,
 ) -> Vec3:
     """Run the full bounce loop for a batch of primary rays; returns per-ray
     radiance (plus, when `res_in` reservoirs are given for
@@ -723,7 +724,10 @@ def trace_rays(
         radiance=Vec3(zero, zero, zero),
         prev_pdf=zero,
         prev_delta=zero > 1.0,
-        alive=zero < 1.0,
+        # alive0 masks chunk-padding lanes dead from bounce 0: they cost
+        # nothing (the planner and narrowing skip dead lanes) and stay out
+        # of the useful-ray counter
+        alive=(zero < 1.0) if alive0 is None else alive0 & (zero < 1.0),
         ray_count=jnp.uint32(0),
     )
     if vma_axes:
@@ -1099,21 +1103,25 @@ def render_pass(
             res_pos[1],
             res_pos[2],
         )
-    xs = (pad(x).reshape(-1, chunk), pad(y).reshape(-1, chunk), pad(seeds).reshape(-1, chunk))
+    # lane validity: 0 on the chunk-padding tail so padded lanes trace dead
+    # (they'd otherwise duplicate pixel 0 at full cost and inflate ray_count)
+    lane_ok = pad(jnp.ones((nrays,), jnp.float32)).reshape(-1, chunk)
+    xs = (pad(x).reshape(-1, chunk), pad(y).reshape(-1, chunk),
+          pad(seeds).reshape(-1, chunk), lane_ok)
     if use_restir:
         xs = xs + res_pos
     if acc_lane is not None:
         xs = xs + (pad(acc_lane).reshape(-1, chunk),)
 
     def chunk_fn(args):
-        cx, cy, cseed = args[:3]
+        cx, cy, cseed, cok = args[:4]
         acc_arg = args[-1] if acc_lane is not None else accumulation
         p0, d0 = generate_camera_rays(
             scene.camera, cx, cy, acc_arg, cseed, policy.enable_dof, policy
         )
-        res = tuple(args[3:]) if use_restir else None
+        res = tuple(args[4:]) if use_restir else None
         return trace_rays(scene, policy, acc_arg, cseed, p0, d0, vma_axes,
-                          res_in=res)
+                          res_in=res, alive0=cok > 0)
 
     res_flat = None
     if padded == chunk:

@@ -244,3 +244,27 @@ def test_accumulate_n_auto_width_matches_sequential():
         np.asarray(a_state.buckets), np.asarray(b.state.buckets)
     )
     assert int(a_state.accumulations) == 7
+
+
+def test_chunk_padding_is_dead_and_invisible():
+    """nrays % rays_per_chunk != 0 pads the last chunk; padded lanes must
+    trace DEAD (no duplicate pixel-0 work, no useful-ray inflation) and the
+    image must be bit-identical to an unchunked render."""
+    import jax
+    import jax.numpy as jnp
+
+    from cpu_raytracing_experiments_tpu.render import renderer as RR
+    from cpu_raytracing_experiments_tpu.scene import builders
+
+    w, h = 48, 40  # 1920 rays
+    scene = builders.default_scene(w, h)
+    pol_one = RendererPolicy(max_bounces=4, rays_per_chunk=4096)  # 1 chunk
+    pol_pad = RendererPolicy(max_bounces=4, rays_per_chunk=512)  # 1920 = 3.75 chunks
+
+    f1, c1 = jax.jit(lambda s: RR.render_pass(s, pol_one, jnp.uint32(1), w, h))(scene)
+    f2, c2 = jax.jit(lambda s: RR.render_pass(s, pol_pad, jnp.uint32(1), w, h))(scene)
+    np.testing.assert_array_equal(np.asarray(f1.x), np.asarray(f2.x))
+    np.testing.assert_array_equal(np.asarray(f1.y), np.asarray(f2.y))
+    np.testing.assert_array_equal(np.asarray(f1.z), np.asarray(f2.z))
+    # identical useful-ray count: padding contributes zero
+    assert int(c1) == int(c2)
