@@ -111,14 +111,14 @@ def with_pallas_clusters(
     method='sah' (default) cuts a binned-SAH tree into maximal <=K-prim
     leaves (tight boxes, partial fill); method='morton' is the fixed-size
     morton chop. cluster_size='auto' picks the measured sweet spot by prim
-    count (benchmarks/mesh_ab.py K-sweep: 20k tris peak at K=256, 100k at
-    K=512 — bigger scenes amortize per-visit fixed cost over bigger
-    batteries)."""
+    count (benchmarks/mesh_ab.py K-sweeps: 20k tris peak at K=256, 100k at
+    K=512, 328k at K=1024 — bigger scenes amortize per-visit fixed cost
+    over bigger batteries)."""
     if cluster_size == "auto":
         p = scene.spheres.count
         if scene.triangles is not None:
             p = max(p, scene.triangles.count)
-        cluster_size = 256 if p < 50_000 else 512
+        cluster_size = 256 if p < 50_000 else (512 if p < 200_000 else 1024)
     if method == "sah":
         return _with_sah_clusters(scene, cluster_size)
     n_sph = -(-scene.spheres.count // cluster_size)
