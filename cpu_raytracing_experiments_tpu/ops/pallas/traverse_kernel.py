@@ -146,7 +146,14 @@ def _sphere_anyhit_battery(px, py, pz, dx, dy, dz, tf, attrs, c):
     hit_near = (e < 0.0) | (q < disc)
     far_ge0 = (b >= 0.0) | (bb <= disc)
     hit_far = (e < 0.0) & (disc < q)
-    return (disc >= 0.0) & jnp.where(near_ge0, hit_near, far_ge0 & hit_far)
+    # pure and/or instead of jnp.where on bool vectors: Mosaic lowers the
+    # i1-vector select_n through an i8->i1 arith.trunci it cannot compile
+    # ("Unsupported target bitwidth for truncation", caught by
+    # benchmarks/tpu_goldens.py on hardware — interpret mode accepts both)
+    sel = (near_ge0 & hit_near) | (
+        jnp.logical_not(near_ge0) & far_ge0 & hit_far
+    )
+    return (disc >= 0.0) & sel
 
 
 def _triangle_anyhit_battery(px, py, pz, dx, dy, dz, tf, attrs, c):
