@@ -76,32 +76,40 @@ def test_two_process_initialize(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     script = tmp_path / "worker.py"
     script.write_text(WORKER.format(repo=repo))
-    with socket.socket() as s:
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-    addr = f"localhost:{port}"
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     # the axon sitecustomize registers + initializes the TPU-tunnel backend
     # at interpreter startup when this is set, which forbids a later
     # jax.distributed.initialize(); the workers are pure-CPU
     env.pop("PALLAS_AXON_POOL_IPS", None)
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(script), addr, str(i)],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
-        )
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            out, err = p.communicate(timeout=220)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("distributed worker timed out")
-        outs.append((p.returncode, out, err))
+
+    # probe-then-rebind the coordinator port is inherently racy (another
+    # process can grab it between our close and the coordinator's bind),
+    # so retry the whole bring-up on a fresh port
+    for attempt in range(3):
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+        addr = f"localhost:{port}"
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), addr, str(i)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=env,
+            )
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, err = p.communicate(timeout=220)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail("distributed worker timed out")
+            outs.append((p.returncode, out, err))
+        if all(rc == 0 for rc, _, _ in outs) or attempt == 2:
+            break
     for rc, out, err in outs:
         assert rc == 0, err[-2000:]
         assert "TOPOLOGY_OK" in out, (out, err[-500:])
