@@ -75,7 +75,7 @@ def main():
     if "2" in which:
         measure("2. 1k spheres (brute)",
                 builders.random_spheres_scene(512, 512, num_spheres=1000),
-                RendererPolicy(max_bounces=8, narrow_factors=(8,)), 512, 512,
+                RendererPolicy(max_bounces=8, narrow_factors=(8, 32)), 512, 512,
                 args.passes)
     if "3" in which:
         measure("3. cornell box", builders.cornell_box_scene(512, 512),

@@ -90,7 +90,7 @@ def main():
     # Production path is the brute battery (measured 40x faster than BVH
     # traversal on TPU at this primitive count — ARCHITECTURE.md).
     w = 512 // scale
-    pol_bf = RendererPolicy(max_bounces=8, narrow_factors=(8,))
+    pol_bf = RendererPolicy(max_bounces=8, narrow_factors=(8, 32))
     results.append(
         measure("2. 1k spheres (brute battery)",
                 builders.random_spheres_scene(w, w, num_spheres=1000), pol_bf, w, w, 64)
