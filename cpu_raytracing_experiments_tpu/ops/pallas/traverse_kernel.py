@@ -84,6 +84,40 @@ def _pad1(a, n_pad, value):
     return jnp.pad(a, (0, n_pad), constant_values=value)
 
 
+def _match_vma(arrs, like):
+    """Cast replicated operands (cluster tables, slab rows) to the rays'
+    varying-mesh-axes set: under shard_map(check_vma=True) pallas_call's
+    internal grid loop requires a uniform vma across its carried blocks
+    (mixed replicated/varying carries are rejected by the interpreter)."""
+    want = getattr(jax.typeof(like), "vma", None)
+    if not want:
+        return arrs
+    pcast = getattr(jax.lax, "pcast", None)
+
+    def cast(a):
+        have = getattr(jax.typeof(a), "vma", frozenset())
+        missing = tuple(ax for ax in want if ax not in have)
+        if not missing:
+            return a
+        if pcast is not None:
+            return pcast(a, missing, to="varying")
+        return jax.lax.pvary(a, missing)
+
+    return type(arrs)(cast(a) for a in arrs)
+
+
+def _out_struct(shape, dtype, like):
+    """pallas_call out_shape that inherits the rays' varying-mesh-axes set:
+    under shard_map(check_vma=True) a plain ShapeDtypeStruct (vma=None) is
+    rejected — the kernel output varies across exactly the axes its ray
+    inputs do (each device traverses its own rays against the replicated
+    cluster tables)."""
+    vma = getattr(jax.typeof(like), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
 # ---------------------------------------------------------------------------
 # Batteries (kernel-side): rays [TILE_R, 1] x prims [K] -> t [TILE_R, K]
 # ---------------------------------------------------------------------------
@@ -421,6 +455,7 @@ def _plan_visits(cp: ClusteredPrims, ray_in, t_tiles: int, tile_r: int,
     """
     c = cp.num_clusters
     slabs, cpad = _slab_rows(cp)
+    slabs = _match_vma(slabs, ray_in[0])
     slab_spec = pl.BlockSpec((8, cpad), lambda i: (0, 0), memory_space=pltpu.VMEM)
     col8 = pl.BlockSpec((8 * tile_r, 1), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
@@ -434,7 +469,7 @@ def _plan_visits(cp: ClusteredPrims, ray_in, t_tiles: int, tile_r: int,
         in_specs=[slab_spec] * 6 + [col8] * 8,
         out_specs=pl.BlockSpec((8, cpad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((t_tiles, cpad), jnp.float32),
+        out_shape=_out_struct((t_tiles, cpad), jnp.float32, ray_in[0]),
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(*slabs, *ray_in)
@@ -677,6 +712,8 @@ def intersect_clustered_pallas(
                                       interpret, plan)
     slabs, cpad = _slab_rows(cp)  # XLA dedupes with the plan kernel's copy
     attrs = _tables(cp)
+    slabs = _match_vma(slabs, ray_in[0])
+    attrs = _match_vma(attrs, ray_in[0])
     n_attr = len(attrs)
     smem_row = lambda w: pl.BlockSpec(
         (8, w), lambda i: (i // 8, 0), memory_space=pltpu.SMEM
@@ -691,8 +728,8 @@ def intersect_clustered_pallas(
         + [col] * 8 + [table] * n_attr,
         out_specs=[col, col],
         out_shape=[
-            jax.ShapeDtypeStruct((rp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((rp, 1), jnp.int32),
+            _out_struct((rp, 1), jnp.float32, ray_in[0]),
+            _out_struct((rp, 1), jnp.int32, ray_in[0]),
         ],
         scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
         interpret=interpret,
@@ -734,6 +771,8 @@ def occluded_clustered_pallas(
                                       interpret, plan)
     slabs, cpad = _slab_rows(cp)
     attrs = _tables(cp)
+    slabs = _match_vma(slabs, ray_in[0])
+    attrs = _match_vma(attrs, ray_in[0])
     n_attr = len(attrs)
     smem_row = lambda w: pl.BlockSpec(
         (8, w), lambda i: (i // 8, 0), memory_space=pltpu.SMEM
@@ -747,7 +786,7 @@ def occluded_clustered_pallas(
         in_specs=[smem_row(1), smem_row(c), smem_row(c)] + [slab_spec] * 6
         + [col] * 8 + [table] * n_attr,
         out_specs=col,
-        out_shape=jax.ShapeDtypeStruct((rp, 1), jnp.int32),
+        out_shape=_out_struct((rp, 1), jnp.int32, ray_in[0]),
         scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,

@@ -35,13 +35,22 @@ from ..utils.config import RendererPolicy
 try:
     from jax import shard_map as _shard_map_fn
 
-    def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map_fn(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    def shard_map(f, mesh, in_specs, out_specs, check_vma: bool = True):
+        # check_vma=False is the documented jax workaround for pallas_call's
+        # INTERPRET-mode grid loop, whose internal scan drops the varying-
+        # axes annotation and trips the vma type-check (the compiled TPU
+        # path type-checks fine; see tests/test_sharding.py pallas test)
+        try:
+            return _shard_map_fn(f, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_vma=check_vma)
+        except TypeError:  # jax without the check_vma parameter
+            return _shard_map_fn(f, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs)
 
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map as _shard_map_old
 
-    def shard_map(f, mesh, in_specs, out_specs):
+    def shard_map(f, mesh, in_specs, out_specs, check_vma: bool = True):
         return _shard_map_old(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
 
@@ -75,7 +84,7 @@ def create_sharded_state(
 
 @partial(
     jax.jit,
-    static_argnames=("policy", "width", "height", "n", "mesh"),
+    static_argnames=("policy", "width", "height", "n", "mesh", "check_vma"),
     donate_argnames=("state",),
 )
 def accumulate_n_sharded(
@@ -86,6 +95,7 @@ def accumulate_n_sharded(
     height: int,
     n: int,
     mesh: Mesh,
+    check_vma: bool = True,
 ) -> RenderState:
     """Run n accumulation passes distributed over the mesh. n must be a
     multiple of the sp axis size; results are bit-identical to n sequential
@@ -126,6 +136,7 @@ def accumulate_n_sharded(
         mesh=mesh,
         in_specs=(P(), P("sp", None, None, "dp"), P()),
         out_specs=P("sp", None, None, "dp"),
+        check_vma=check_vma,
     )
     buckets = mapped(scene, state.buckets, state.accumulations)
     return RenderState(
@@ -170,11 +181,13 @@ class ShardedRenderer:
         width: int = 256,
         height: int = 256,
         mesh: Optional[Mesh] = None,
+        check_vma: bool = True,
     ):
         import dataclasses
 
         self.policy = policy or RendererPolicy()
         self.mesh = mesh if mesh is not None else make_mesh()
+        self.check_vma = check_vma
         self.width, self.height = width, height
         if (
             float(scene.camera.half_width) * 2 != width
@@ -191,7 +204,8 @@ class ShardedRenderer:
 
     def accumulate(self, n: int):
         self.state = accumulate_n_sharded(
-            self.scene, self.policy, self.state, self.width, self.height, n, self.mesh
+            self.scene, self.policy, self.state, self.width, self.height, n,
+            self.mesh, check_vma=self.check_vma,
         )
 
     def render(self, tonemap: bool = True) -> np.ndarray:

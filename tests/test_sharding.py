@@ -133,3 +133,35 @@ def test_sharded_render_spp_sample_accounting():
     )
     # same estimator semantics: both resolve to comparable brightness
     assert abs(float(img_sh.mean()) - float(img_single.mean())) < 0.02
+
+
+def test_sharded_pallas_accel_matches_single():
+    """Multi-chip + accel='pallas' (the large-scene production combination):
+    8-device dp mesh must match single-device bit-exactly. check_vma=False
+    works around a jax interpret-mode limitation (pallas_call's internal
+    grid scan drops the varying-axes annotation); the COMPILED path
+    type-checks with check_vma=True and was verified bit-exact on real TPU
+    hardware (kernel out_shapes carry the rays' vma via _out_struct, and
+    replicated cluster tables are pcast to varying via _match_vma)."""
+    import numpy as np
+
+    from cpu_raytracing_experiments_tpu.parallel import sharded
+    from cpu_raytracing_experiments_tpu.render.api import Renderer
+    from cpu_raytracing_experiments_tpu.scene import accel as accel_mod
+    from cpu_raytracing_experiments_tpu.scene import builders
+    from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+
+    w = h = 32
+    scene = accel_mod.with_pallas_clusters(
+        builders.cornell_box_scene(w, h), cluster_size=32
+    )
+    pol = RendererPolicy(max_bounces=3, accel="pallas", pallas_interpret=True,
+                         pallas_tile_rays=64, rays_per_chunk=1024)
+    single = Renderer(scene, pol, w, h)
+    single.accumulate(5)
+    mesh = sharded.make_mesh(dp=8, sp=1)
+    sr = sharded.ShardedRenderer(scene, pol, w, h, mesh, check_vma=False)
+    sr.accumulate(5)
+    a = np.asarray(single.render(tonemap=False))
+    b = np.asarray(sr.render(tonemap=False))
+    np.testing.assert_array_equal(a, b)
