@@ -67,7 +67,11 @@ def create_sharded_state(
     width: int, height: int, policy: RendererPolicy, mesh: Mesh
 ) -> RenderState:
     """buckets laid out [sp, B, 3, npix]: sp-partial bucket sums sharded over
-    'sp', pixels sharded over 'dp'."""
+    'sp', pixels sharded over 'dp'. With light_sampling='restir' a per-pixel
+    reservoir buffer [3, npix] rides along, sharded over 'dp' with its
+    pixels (temporal reuse is pixel-local; spatial reuse is lane-offset
+    based and clips at the shard edge exactly as the single-chip path clips
+    at the array edge)."""
     n_sp = mesh.shape["sp"]
     npix = width * height
     assert npix % mesh.shape["dp"] == 0, "pixel count must divide dp axis"
@@ -79,7 +83,14 @@ def create_sharded_state(
     acc = jax.device_put(
         jnp.uint32(0), NamedSharding(mesh, P())
     )
-    return RenderState(buckets=buckets, accumulations=acc)
+    reservoir = None
+    if policy.light_sampling == "restir":
+        assert n_sp == 1, "ReSTIR chains passes sequentially; use sp=1"
+        reservoir = jax.device_put(
+            RenderState._empty_reservoir(npix),
+            NamedSharding(mesh, P(None, "dp")),
+        )
+    return RenderState(buckets=buckets, accumulations=acc, reservoir=reservoir)
 
 
 @partial(
@@ -106,41 +117,87 @@ def accumulate_n_sharded(
     npix = width * height
     local_pix = npix // n_dp
     passes_per_rank = n // n_sp
+    use_restir = policy.light_sampling == "restir" and state.reservoir is not None
+    if use_restir:
+        assert n_sp == 1, "ReSTIR chains passes sequentially; use sp=1"
 
-    def local_fn(scene, buckets, acc0):
+    def _vary(a, axes=("dp", "sp")):
+        # align the fori_loop carry's varying-axes set with render_pass's
+        # outputs (which vary over both mesh axes)
+        have = getattr(jax.typeof(a), "vma", frozenset())
+        missing = tuple(ax for ax in axes if ax not in have)
+        if not missing:
+            return a
+        pc = getattr(jax.lax, "pcast", None)
+        return pc(a, missing, to="varying") if pc else jax.lax.pvary(a, missing)
+
+    def local_fn(scene, buckets, acc0, reservoir=None):
         dp = jax.lax.axis_index("dp")
         sp = jax.lax.axis_index("sp")
         pixel_start = dp.astype(jnp.uint32) * jnp.uint32(local_pix)
         # buckets arrives as the local block [1, B, 3, local_pix]
         local = buckets[0]
 
-        def step(k, b):
+        def step(k, carry):
+            b, res = carry
             acc = (
                 acc0
                 + jnp.uint32(1)
                 + sp.astype(jnp.uint32)
                 + jnp.uint32(n_sp) * k.astype(jnp.uint32)
             )
-            rad, _ = _renderer.render_pass(
-                scene, policy, acc, width, height,
-                pixel_start=pixel_start, npix=local_pix, vma_axes=("dp", "sp"),
-            )
+            if use_restir:
+                rad, _, res = _renderer.render_pass(
+                    scene, policy, acc, width, height,
+                    pixel_start=pixel_start, npix=local_pix,
+                    vma_axes=("dp", "sp"), restir_in=res,
+                )
+            else:
+                rad, _ = _renderer.render_pass(
+                    scene, policy, acc, width, height,
+                    pixel_start=pixel_start, npix=local_pix,
+                    vma_axes=("dp", "sp"),
+                )
             bucket = (acc % jnp.uint32(policy.accumulation_buckets)).astype(jnp.int32)
-            return b.at[bucket].add(jnp.stack([rad.x, rad.y, rad.z], axis=0))
+            return (b.at[bucket].add(jnp.stack([rad.x, rad.y, rad.z], axis=0)),
+                    res)
 
-        local = jax.lax.fori_loop(0, passes_per_rank, step, local)
+        res0 = _vary(reservoir) if use_restir else jnp.float32(0)
+        local, res_fin = jax.lax.fori_loop(
+            0, passes_per_rank, step, (local, res0)
+        )
+        if use_restir:
+            # n_sp == 1 in restir mode: the psum is value-identity and marks
+            # the reservoir 'sp'-invariant so the P(None, 'dp') out_spec
+            # type-checks
+            return local[None], jax.lax.psum(res_fin, "sp")
         return local[None]
 
-    mapped = shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(P(), P("sp", None, None, "dp"), P()),
-        out_specs=P("sp", None, None, "dp"),
-        check_vma=check_vma,
-    )
-    buckets = mapped(scene, state.buckets, state.accumulations)
+    if use_restir:
+        mapped = shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(), P("sp", None, None, "dp"), P(), P(None, "dp")),
+            out_specs=(P("sp", None, None, "dp"), P(None, "dp")),
+            check_vma=check_vma,
+        )
+        buckets, res_out = mapped(
+            scene, state.buckets, state.accumulations, state.reservoir
+        )
+    else:
+        mapped = shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(), P("sp", None, None, "dp"), P()),
+            out_specs=P("sp", None, None, "dp"),
+            check_vma=check_vma,
+        )
+        buckets = mapped(scene, state.buckets, state.accumulations)
+        res_out = None
     return RenderState(
-        buckets=buckets, accumulations=state.accumulations + jnp.uint32(n)
+        buckets=buckets,
+        accumulations=state.accumulations + jnp.uint32(n),
+        reservoir=res_out,
     )
 
 

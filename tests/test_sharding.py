@@ -165,3 +165,45 @@ def test_sharded_pallas_accel_matches_single():
     a = np.asarray(single.render(tonemap=False))
     b = np.asarray(sr.render(tonemap=False))
     np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_restir_temporal_matches_single():
+    """dp-sharded ReSTIR: reservoirs shard with their pixels. Temporal-only
+    reuse (restir_spatial=0) has no neighbor lookups, so an 8-device render
+    is bit-identical to single-device; with spatial reuse only pixels whose
+    lane-offset neighbor candidates clip at a shard edge may differ (the
+    same clip the single-chip path applies at the array edge — equal in
+    distribution, boundary candidates differ)."""
+    import dataclasses
+
+    import numpy as np
+
+    from cpu_raytracing_experiments_tpu.parallel import sharded
+    from cpu_raytracing_experiments_tpu.render.api import Renderer
+    from cpu_raytracing_experiments_tpu.scene import builders
+    from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+
+    w = h = 32
+    scene = builders.cornell_box_scene(w, h)
+    pol = RendererPolicy(max_bounces=3, light_sampling="restir",
+                         restir_spatial=0, rays_per_chunk=1024)
+    single = Renderer(scene, pol, w, h)
+    single.accumulate(6)
+    mesh = sharded.make_mesh(dp=8, sp=1)
+    sr = sharded.ShardedRenderer(scene, pol, w, h, mesh)
+    sr.accumulate(6)
+    np.testing.assert_array_equal(
+        np.asarray(single.render(tonemap=False)),
+        np.asarray(sr.render(tonemap=False)),
+    )
+
+    # spatial reuse: runs sharded, interior pixels identical
+    pol2 = dataclasses.replace(pol, restir_spatial=2, restir_radius=4)
+    s2 = Renderer(scene, pol2, w, h)
+    s2.accumulate(6)
+    sr2 = sharded.ShardedRenderer(scene, pol2, w, h, mesh)
+    sr2.accumulate(6)
+    a = np.asarray(s2.render(tonemap=False))
+    b = np.asarray(sr2.render(tonemap=False))
+    assert (a == b).mean() > 0.8, (a == b).mean()
+    assert float(((a - b) ** 2).mean()) < 1e-4
