@@ -203,6 +203,79 @@ def accumulate_n_sharded(
 
 @partial(
     jax.jit,
+    static_argnames=("policy", "width", "height", "mesh", "check_vma"),
+    donate_argnames=("state",),
+)
+def accumulate_pixels_sharded(
+    scene: Scene,
+    policy: RendererPolicy,
+    state: RenderState,
+    width: int,
+    height: int,
+    pixel_ids: jnp.ndarray,
+    valid: jnp.ndarray,
+    mesh: Mesh,
+    check_vma: bool = True,
+) -> RenderState:
+    """One adaptive subset sample, multi-chip: `pixel_ids` [dp, N] GLOBAL
+    pixel ids pre-split by owning shard (every valid id in row s must lie
+    in shard s's pixel block — the host splitter guarantees it), `valid`
+    [dp, N] masks padding. Each shard traces its own sublist and scatters
+    into its local bucket/count blocks; no collectives."""
+    n_dp = mesh.shape["dp"]
+    n_sp = mesh.shape["sp"]
+    assert n_sp == 1, "adaptive subsets chain pass counts; use sp=1"
+    npix = width * height
+    local_pix = npix // n_dp
+    b_count = policy.accumulation_buckets
+
+    def local_fn(scene, buckets, acc0, counts, ids, valid):
+        dp = jax.lax.axis_index("dp")
+        pixel_start = dp.astype(jnp.int32) * jnp.int32(local_pix)
+        local = buckets[0]  # [B, 3, local_pix]
+        ids_l = ids[0]
+        val_l = valid[0]
+        acc = acc0 + jnp.uint32(1)
+        rad, _ = _renderer.render_pass_pixels(
+            scene, policy, acc, width, ids_l, val_l, vma_axes=("dp", "sp")
+        )
+        bucket = (acc % jnp.uint32(b_count)).astype(jnp.int32)
+        pos = jnp.clip(ids_l.astype(jnp.int32) - pixel_start, 0, local_pix - 1)
+        vf = val_l.astype(jnp.float32)
+        frame = jnp.zeros((3, local_pix), jnp.float32).at[:, pos].add(
+            jnp.stack([rad.x * vf, rad.y * vf, rad.z * vf], axis=0)
+        )
+        local = jax.lax.dynamic_update_index_in_dim(
+            local, local[bucket] + frame, bucket, 0
+        )
+        return local[None], counts.at[pos].add(vf)
+
+    mapped = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P("sp", None, None, "dp"), P(), P("dp"),
+                  P("dp", None), P("dp", None)),
+        out_specs=(P("sp", None, None, "dp"), P("dp")),
+        check_vma=check_vma,
+    )
+    counts = (
+        jnp.full((npix,), state.accumulations.astype(jnp.float32))
+        if state.counts is None
+        else state.counts
+    )
+    buckets, counts = mapped(
+        scene, state.buckets, state.accumulations, counts, pixel_ids, valid
+    )
+    return RenderState(
+        buckets=buckets,
+        accumulations=state.accumulations + jnp.uint32(1),
+        reservoir=state.reservoir,
+        counts=counts,
+    )
+
+
+@partial(
+    jax.jit,
     static_argnames=("policy", "width", "height", "tonemap"),
 )
 def resolve_sharded(
@@ -222,7 +295,8 @@ def resolve_sharded(
 
     merged = jnp.sum(state.buckets, axis=0)  # [B, 3, npix]
     return estimator.resolve(
-        RenderState(buckets=merged, accumulations=state.accumulations),
+        RenderState(buckets=merged, accumulations=state.accumulations,
+                    counts=state.counts),
         policy, exposure, width, height, tonemap,
     )
 
@@ -271,6 +345,80 @@ class ShardedRenderer:
             self.width, self.height, tonemap,
         )
         return np.asarray(img)[::-1]
+
+    def render_adaptive(self, tol: float, max_spp: int = 10000,
+                        warmup=None, tonemap: bool = True):
+        """Multi-chip per-pixel adaptive allocation: the variance decision
+        runs on the host over the merged buckets (same rule as
+        render.api.Renderer.render_adaptive), the active pixel list is
+        split by owning dp shard, and each shard traces only its sublist
+        (accumulate_pixels_sharded — no collectives). The per-round subset
+        may differ from single-chip when a tier truncates (truncation is
+        per shard here, global there), so images agree in distribution,
+        not bit-for-bit."""
+        from ..utils.metrics import pixel_variance_map
+
+        assert self.mesh.shape["sp"] == 1, "adaptive requires sp=1"
+        n_dp = self.mesh.shape["dp"]
+        b = self.policy.accumulation_buckets
+        npix = self.width * self.height
+        local_pix = npix // n_dp
+        warmup = -(-(warmup or 4 * b) // b) * b
+        self.accumulate(warmup)
+        traced = warmup * npix
+        tiers = []
+        t = local_pix
+        while t >= max(local_pix // 64, 32):
+            tiers.append(t)
+            t //= 2
+        ids_sharding = NamedSharding(self.mesh, P("dp", None))
+        while int(self.state.accumulations) < max_spp:
+            buckets = np.asarray(self.state.buckets).sum(axis=0)
+            if self.state.counts is None:
+                v = pixel_variance_map(buckets, int(self.state.accumulations))
+            else:
+                per_bucket = np.maximum(np.asarray(self.state.counts) / b, 1.0)
+                means = buckets / per_bucket[None, None, :]
+                v = (means.var(axis=0, ddof=1).mean(axis=0) / b).astype(
+                    np.float32
+                )
+            active = np.sqrt(v) > tol
+            if int(active.sum()) == 0:
+                break
+            ids = np.flatnonzero(active)
+            per = [ids[ids // local_pix == s] for s in range(n_dp)]
+            n_max = max(p.size for p in per)
+            tier = next((t for t in reversed(tiers) if t >= n_max), local_pix)
+            ids_pad = np.zeros((n_dp, tier), np.int32)
+            valid = np.zeros((n_dp, tier), bool)
+            for s, p in enumerate(per):
+                m = min(p.size, tier)
+                ids_pad[s, :m] = p[:m]
+                valid[s, :m] = True
+                ids_pad[s, m:] = s * local_pix  # in-shard padding ids
+            ids_j = jax.device_put(jnp.asarray(ids_pad), ids_sharding)
+            val_j = jax.device_put(jnp.asarray(valid), ids_sharding)
+            for _ in range(b):
+                self.state = accumulate_pixels_sharded(
+                    self.scene, self.policy, self.state, self.width,
+                    self.height, ids_j, val_j, self.mesh,
+                    check_vma=self.check_vma,
+                )
+            traced += b * int(valid.sum())
+        img = self.render(tonemap=tonemap)
+        uniform_equiv = int(self.state.accumulations) * npix
+        counts = (
+            np.asarray(self.state.counts)
+            if self.state.counts is not None
+            else np.full(npix, float(self.state.accumulations))
+        )
+        stats = {
+            "samples_traced": int(traced),
+            "uniform_equivalent": int(uniform_equiv),
+            "saved_fraction": 1.0 - traced / max(uniform_equiv, 1),
+            "max_spp_pixel": float(counts.max()),
+        }
+        return img, stats
 
     def render_spp(self, spp: int, tonemap: bool = True) -> np.ndarray:
         """Accumulate until at least `spp` total samples/pixel have been

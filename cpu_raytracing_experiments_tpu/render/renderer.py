@@ -1188,6 +1188,7 @@ def render_pass_pixels(
     width: int,
     pixel_ids,
     valid,
+    vma_axes: tuple = (),
 ):
     """One progressive sample for an ARBITRARY pixel subset — the basis of
     per-pixel adaptive sample allocation (the reference always traces every
@@ -1210,12 +1211,13 @@ def render_pass_pixels(
     # intersect; instead mark them dead from the start by moving the origin
     # far away and letting the alive mask kill them
     rad, count = _trace_rays_masked(
-        scene, policy, accumulation, seeds, p0, d0, valid
+        scene, policy, accumulation, seeds, p0, d0, valid, vma_axes
     )
     return rad, count
 
 
-def _trace_rays_masked(scene, policy, accumulation, seeds, p0, d0, alive0):
+def _trace_rays_masked(scene, policy, accumulation, seeds, p0, d0, alive0,
+                       vma_axes: tuple = ()):
     """trace_rays variant whose initial alive mask can exclude lanes."""
     zero = p0.x * 0.0
     one = zero + 1.0
@@ -1230,6 +1232,19 @@ def _trace_rays_masked(scene, policy, accumulation, seeds, p0, d0, alive0):
         alive=alive0 & (zero < 1.0),
         ray_count=jnp.uint32(0),
     )
+    if vma_axes:
+        # same carry-type alignment as trace_rays: under shard_map the
+        # while_loop carry must be device-varying from the start
+        def _pv(a):
+            have = getattr(jax.typeof(a), "vma", frozenset())
+            missing = tuple(ax for ax in vma_axes if ax not in have)
+            if not missing:
+                return a
+            if hasattr(jax.lax, "pcast"):
+                return jax.lax.pcast(a, missing, to="varying")
+            return jax.lax.pvary(a, missing)
+
+        init = jax.tree.map(_pv, init)
 
     def cond(state: PathState):
         return (state.bounce < policy.max_bounces) & jnp.any(state.alive)

@@ -207,3 +207,31 @@ def test_sharded_restir_temporal_matches_single():
     b = np.asarray(sr2.render(tonemap=False))
     assert (a == b).mean() > 0.8, (a == b).mean()
     assert float(((a - b) ** 2).mean()) < 1e-4
+
+
+def test_sharded_adaptive_tol0_matches_uniform():
+    """Multi-chip adaptive allocation: tol=0 keeps every pixel active, so
+    the sharded adaptive render must be bit-identical to the plain sharded
+    uniform render at the same spp; a real tolerance must save samples."""
+    import numpy as np
+
+    from cpu_raytracing_experiments_tpu.parallel import sharded
+    from cpu_raytracing_experiments_tpu.scene import builders
+    from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+
+    w = h = 32
+    scene = builders.default_scene(w, h)
+    pol = RendererPolicy(max_bounces=3, rays_per_chunk=1024)
+    mesh = sharded.make_mesh(dp=8, sp=1)
+
+    sa = sharded.ShardedRenderer(scene, pol, w, h, mesh)
+    img0, st0 = sa.render_adaptive(tol=0.0, max_spp=20)
+    su = sharded.ShardedRenderer(scene, pol, w, h, mesh)
+    su.accumulate(20)
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(su.render()))
+    assert st0["saved_fraction"] == 0.0
+
+    sb = sharded.ShardedRenderer(scene, pol, w, h, mesh)
+    img, stats = sb.render_adaptive(tol=0.05, max_spp=40)
+    assert np.isfinite(np.asarray(img)).all()
+    assert stats["saved_fraction"] > 0.05
