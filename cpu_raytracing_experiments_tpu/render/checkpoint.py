@@ -38,6 +38,11 @@ def save(path, state: RenderState, policy: RendererPolicy, width: int, height: i
         # ReSTIR per-pixel reservoirs: part of the resumable state so a
         # resumed render continues bit-exactly
         extra["reservoir"] = np.asarray(state.reservoir)
+    if state.counts is not None:
+        # adaptive per-pixel pass counts: without them a resumed render's
+        # count-aware resolve would fall back to the uniform divide and
+        # mis-weight every adaptively-skipped pixel
+        extra["counts"] = np.asarray(state.counts)
     np.savez_compressed(
         path,
         version=FORMAT_VERSION,
@@ -67,6 +72,7 @@ def load(path, policy: RendererPolicy, width: int, height: int) -> RenderState:
             reservoir=(
                 jnp.asarray(z["reservoir"]) if "reservoir" in z else None
             ),
+            counts=jnp.asarray(z["counts"]) if "counts" in z else None,
         )
 
 

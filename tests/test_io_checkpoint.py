@@ -266,3 +266,39 @@ def test_cli_checkpoint_resume(tmp_path):
     r = Renderer(b.white_furnace_scene(16, 16), pol, 16, 16)
     r.accumulate(10)
     np.testing.assert_array_equal(resumed, r.render(tonemap=False))
+
+
+def test_checkpoint_preserves_adaptive_counts(tmp_path):
+    """An adaptive render's per-pixel counts must survive save/load: the
+    count-aware resolve after resume must match the unresumed resolve
+    bit-for-bit."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cpu_raytracing_experiments_tpu.render import checkpoint, estimator
+    from cpu_raytracing_experiments_tpu.render.api import Renderer
+    from cpu_raytracing_experiments_tpu.scene import builders
+    from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+
+    w = h = 16
+    pol = RendererPolicy(max_bounces=3, rays_per_chunk=256)
+    r = Renderer(builders.default_scene(w, h), pol, w, h)
+    r.accumulate(5)
+    # one subset round -> counts become non-uniform
+    ids = jnp.arange(64, dtype=jnp.int32)
+    valid = jnp.ones(64, bool)
+    for _ in range(pol.accumulation_buckets):
+        r.state = estimator.accumulate_pixels(
+            r.scene, pol, r.state, w, h, ids, valid
+        )
+    assert r.state.counts is not None
+    path = tmp_path / "ck.npz"
+    checkpoint.save(path, r.state, pol, w, h)
+    loaded = checkpoint.load(path, pol, w, h)
+    np.testing.assert_array_equal(
+        np.asarray(loaded.counts), np.asarray(r.state.counts)
+    )
+    r2 = Renderer(builders.default_scene(w, h), pol, w, h)
+    r2.state = loaded
+    np.testing.assert_array_equal(r.render(tonemap=False),
+                                  r2.render(tonemap=False))
