@@ -346,6 +346,61 @@ class ShardedRenderer:
         )
         return np.asarray(img)[::-1]
 
+    def save_checkpoint(self, path):
+        """Topology-independent checkpoint: the sp-partial buckets are
+        merged to the single-device layout [B, 3, npix] before saving, so a
+        render checkpointed on an N-chip mesh resumes on ANY topology —
+        M chips, a different dp/sp split, or a single device (render/
+        checkpoint.py's bit-exact-resume guarantee carries over: the RNG is
+        counter-based and the accumulation counter is global)."""
+        from ..render import checkpoint
+
+        merged = jnp.sum(self.state.buckets, axis=0)
+        st = RenderState(
+            buckets=merged,
+            accumulations=self.state.accumulations,
+            reservoir=self.state.reservoir,
+            counts=self.state.counts,
+        )
+        checkpoint.save(path, st, self.policy, self.width, self.height)
+
+    def load_checkpoint(self, path):
+        """Resume from any checkpoint (single-device or sharded origin):
+        merged buckets land in sp rank 0's partial slot (zeros elsewhere —
+        the resolve sums over sp, so this is exact) and pixel-indexed state
+        re-shards over dp."""
+        from ..render import checkpoint
+
+        st = checkpoint.load(path, self.policy, self.width, self.height)
+        n_sp = self.mesh.shape["sp"]
+        buckets = st.buckets[None]
+        if n_sp > 1:
+            buckets = jnp.concatenate(
+                [buckets,
+                 jnp.zeros((n_sp - 1,) + st.buckets.shape, jnp.float32)],
+                axis=0,
+            )
+        self.state = RenderState(
+            buckets=jax.device_put(
+                buckets, NamedSharding(self.mesh, P("sp", None, None, "dp"))
+            ),
+            accumulations=st.accumulations,
+            reservoir=(
+                None
+                if st.reservoir is None
+                else jax.device_put(
+                    st.reservoir, NamedSharding(self.mesh, P(None, "dp"))
+                )
+            ),
+            counts=(
+                None
+                if st.counts is None
+                else jax.device_put(
+                    st.counts, NamedSharding(self.mesh, P("dp"))
+                )
+            ),
+        )
+
     def render_adaptive(self, tol: float, max_spp: int = 10000,
                         warmup=None, tonemap: bool = True):
         """Multi-chip per-pixel adaptive allocation: the variance decision

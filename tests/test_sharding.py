@@ -235,3 +235,47 @@ def test_sharded_adaptive_tol0_matches_uniform():
     img, stats = sb.render_adaptive(tol=0.05, max_spp=40)
     assert np.isfinite(np.asarray(img)).all()
     assert stats["saved_fraction"] > 0.05
+
+
+def test_cross_topology_checkpoint_resume():
+    """Checkpoint on one topology, resume on another, bit-exact either way:
+    single-device 4 passes -> sharded 4 more == 8 straight single-device,
+    and sharded 4 -> single 4 likewise (counter-based RNG + merged-bucket
+    checkpoint layout make the accumulator topology-independent)."""
+    import numpy as np
+
+    from cpu_raytracing_experiments_tpu.parallel import sharded
+    from cpu_raytracing_experiments_tpu.render import checkpoint
+    from cpu_raytracing_experiments_tpu.render.api import Renderer
+    from cpu_raytracing_experiments_tpu.scene import builders
+    from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+
+    w = h = 32
+    scene = builders.default_scene(w, h)
+    pol = RendererPolicy(max_bounces=3, rays_per_chunk=1024)
+    mesh = sharded.make_mesh(dp=8, sp=1)
+    ref = Renderer(scene, pol, w, h)
+    ref.accumulate(8)
+    want = np.asarray(ref.render(tonemap=False))
+
+    def ckpt(tmp, state):
+        checkpoint.save(tmp, state, pol, w, h)
+
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        path = d + "/ck.npz"
+        single = Renderer(scene, pol, w, h)
+        single.accumulate(4)
+        ckpt(path, single.state)
+        sr = sharded.ShardedRenderer(scene, pol, w, h, mesh)
+        sr.load_checkpoint(path)
+        sr.accumulate(4)
+        np.testing.assert_array_equal(np.asarray(sr.render(tonemap=False)), want)
+
+        sr2 = sharded.ShardedRenderer(scene, pol, w, h, mesh)
+        sr2.accumulate(4)
+        sr2.save_checkpoint(path)
+        s2 = Renderer(scene, pol, w, h)
+        s2.state = checkpoint.load(path, pol, w, h)
+        s2.accumulate(4)
+        np.testing.assert_array_equal(np.asarray(s2.render(tonemap=False)), want)
