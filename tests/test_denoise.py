@@ -42,3 +42,33 @@ def test_denoise_white_furnace_identity_ish():
     den = denoise.denoise_render(r)
     base = r.render(tonemap=True)
     np.testing.assert_allclose(den, base, atol=5e-3)
+
+
+def test_variance_guided_denoise():
+    """Variance-guided luminance stop: runs, returns finite images, and is
+    a no-op relative to the fixed-sigma path when variance is zero (the
+    white furnace has zero bucket spread)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cpu_raytracing_experiments_tpu.render import denoise
+    from cpu_raytracing_experiments_tpu.render.api import Renderer
+    from cpu_raytracing_experiments_tpu.scene import builders
+    from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+
+    w = h = 16
+    pol = RendererPolicy(max_bounces=3, rays_per_chunk=256)
+    r = Renderer(builders.default_scene(w, h), pol, w, h)
+    r.accumulate(6)
+    img = denoise.denoise_render(r, variance_guided=True, sigma_l=25.0)
+    assert img.shape == (h, w, 3) and np.isfinite(img).all()
+
+    # direct filter check: zero variance -> maximal luminance stop
+    # (denom -> 1e-3) must still produce finite output
+    hdr = jnp.asarray(r.render(tonemap=False))
+    alb = jnp.ones((h, w, 3)) * 0.5
+    nrm = jnp.concatenate([jnp.zeros((h, w, 2)), jnp.ones((h, w, 1))], -1)
+    dep = jnp.ones((h, w))
+    out = denoise.atrous_denoise(hdr, alb, nrm, dep,
+                                 variance=jnp.zeros((h, w)))
+    assert np.isfinite(np.asarray(out)).all()
