@@ -346,6 +346,17 @@ class ShardedRenderer:
         )
         return np.asarray(img)[::-1]
 
+    def variance_map(self) -> np.ndarray:
+        """[H, W] per-pixel variance of the running mean from the merged
+        bucket spread — same statistic as render.api.Renderer.variance_map,
+        so denoise.denoise_render and the adaptive tooling work unchanged
+        on the sharded renderer. Row 0 = top scanline."""
+        from ..utils.metrics import pixel_variance_map
+
+        merged = np.asarray(self.state.buckets).sum(axis=0)
+        v = pixel_variance_map(merged, int(self.state.accumulations))
+        return v.reshape(self.height, self.width)[::-1]
+
     def save_checkpoint(self, path):
         """Topology-independent checkpoint: the sp-partial buckets are
         merged to the single-device layout [B, 3, npix] before saving, so a

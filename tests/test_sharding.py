@@ -279,3 +279,28 @@ def test_cross_topology_checkpoint_resume():
         s2.state = checkpoint.load(path, pol, w, h)
         s2.accumulate(4)
         np.testing.assert_array_equal(np.asarray(s2.render(tonemap=False)), want)
+
+
+def test_sharded_variance_map_and_denoise():
+    """ShardedRenderer.variance_map matches single-device bit-exactly
+    (merged buckets, same statistic), and the AOV denoiser accepts a
+    ShardedRenderer directly."""
+    import numpy as np
+
+    from cpu_raytracing_experiments_tpu.parallel import sharded
+    from cpu_raytracing_experiments_tpu.render import denoise
+    from cpu_raytracing_experiments_tpu.render.api import Renderer
+    from cpu_raytracing_experiments_tpu.scene import builders
+    from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+
+    w = h = 32
+    scene = builders.default_scene(w, h)
+    pol = RendererPolicy(max_bounces=3, rays_per_chunk=1024)
+    mesh = sharded.make_mesh(dp=8, sp=1)
+    sr = sharded.ShardedRenderer(scene, pol, w, h, mesh)
+    sr.accumulate(6)
+    single = Renderer(scene, pol, w, h)
+    single.accumulate(6)
+    np.testing.assert_array_equal(sr.variance_map(), single.variance_map())
+    img = denoise.denoise_render(sr, variance_guided=True, sigma_l=25.0)
+    assert img.shape == (h, w, 3) and np.isfinite(img).all()
