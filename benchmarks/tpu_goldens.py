@@ -29,19 +29,26 @@ def main():
         "hero": (builders.default_scene(SIZE, SIZE), pol),
         "cornell": (builders.cornell_box_scene(SIZE, SIZE), pol),
         "white_furnace": (builders.white_furnace_scene(SIZE, SIZE), pol),
-        "bvh_test": (  # compiled Pallas traversal on hardware
+        "bvh_test": (  # compiled Pallas traversal on hardware (spheres)
             accel_mod.with_pallas_clusters(
                 builders.bvh_test_scene(SIZE, SIZE), cluster_size=64
+            ),
+            dataclasses.replace(pol, accel="pallas", pallas_tile_rays=64),
+        ),
+        "mesh": (  # compiled Pallas traversal on hardware (triangles)
+            accel_mod.with_pallas_clusters(
+                builders.mesh_scene(96, 96, subdivisions=3), cluster_size=64
             ),
             dataclasses.replace(pol, accel="pallas", pallas_tile_rays=64),
         ),
     }
     failures = 0
     for name, (scene, p) in cases.items():
-        r = Renderer(scene, p, SIZE, SIZE)
+        size = 96 if name == "mesh" else SIZE
+        r = Renderer(scene, p, size, size)
         r.accumulate(SPP)
         img = np.asarray(r.render(tonemap=False))
-        want = np.load(GOLDEN_DIR / f"{name}_{SIZE}x{SIZE}_{SPP}spp.npy")
+        want = np.load(GOLDEN_DIR / f"{name}_{size}x{size}_{SPP}spp.npy")
         close = float(np.isclose(img, want, rtol=1e-3, atol=1e-4).mean())
         # cross-PLATFORM tolerance (TPU vs the CPU-rendered goldens) is
         # looser than the same-platform suite's 0.995: different fusion/

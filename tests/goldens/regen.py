@@ -48,10 +48,16 @@ def main():
         "dof": lambda: render(
             _dof_scene(), dataclasses.replace(POL, enable_dof=True)
         ),
+        # triangle-mesh geometry (the pallas traversal's main workload);
+        # 96x96 — the displaced mesh renders black at 64x64 framing
+        "mesh": lambda: render(
+            builders.mesh_scene(96, 96, subdivisions=3), POL, size=96
+        ),
     }
     for name, fn in jobs.items():
         img = fn()
-        path = os.path.join(HERE, f"{name}_{SIZE}x{SIZE}_{SPP}spp.npy")
+        size = img.shape[0]
+        path = os.path.join(HERE, f"{name}_{size}x{size}_{SPP}spp.npy")
         np.save(path, img)
         print(f"{name:14s} mean={img.mean():.4f}  -> {path}")
 

@@ -106,3 +106,30 @@ def test_golden_accel_cross_check(accel):
             POL, accel="pallas", pallas_tile_rays=64, pallas_interpret=True
         )
     _check("bvh_test", _render(scene, pol))
+
+
+def test_golden_mesh():
+    """Triangle-mesh geometry (the pallas traversal's main workload) at
+    96x96 (the displaced mesh renders black at the 64x64 framing) —
+    brute battery against the golden, plus the pallas traversal
+    (interpret) must match the same golden."""
+    scene = builders.mesh_scene(96, 96, subdivisions=3)
+    r = Renderer(scene, POL, 96, 96)
+    r.accumulate(SPP)
+    img = r.render(tonemap=False)
+    want = np.load(GOLDEN_DIR / "mesh_96x96_10spp.npy")
+    close = np.isclose(img, want, rtol=1e-3, atol=1e-4)
+    assert close.mean() > 0.995, f"{100 * (1 - close.mean()):.2f}% deviate"
+
+    from cpu_raytracing_experiments_tpu.scene import accel as accel_mod
+
+    sc = accel_mod.with_pallas_clusters(scene, cluster_size=64)
+    pol = dataclasses.replace(
+        POL, accel="pallas", pallas_tile_rays=64, pallas_interpret=True,
+        rays_per_chunk=9216,
+    )
+    rp = Renderer(sc, pol, 96, 96)
+    rp.accumulate(SPP)
+    imgp = rp.render(tonemap=False)
+    close = np.isclose(imgp, want, rtol=1e-3, atol=1e-4)
+    assert close.mean() > 0.995, f"{100 * (1 - close.mean()):.2f}% deviate"
