@@ -82,6 +82,17 @@ def test_two_process_initialize(tmp_path):
     # at interpreter startup when this is set, which forbids a later
     # jax.distributed.initialize(); the workers are pure-CPU
     env.pop("PALLAS_AXON_POOL_IPS", None)
+    # the full suite runs under xla_force_host_platform_device_count=8;
+    # inherited, each worker would see 8 local devices and the 2x1
+    # topology asserts would fail — scrub just that token
+    xf = " ".join(
+        t for t in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in t
+    )
+    if xf:
+        env["XLA_FLAGS"] = xf
+    else:
+        env.pop("XLA_FLAGS", None)
 
     # probe-then-rebind the coordinator port is inherently racy (another
     # process can grab it between our close and the coordinator's bind),
