@@ -185,13 +185,16 @@ def cmd_render(args):
         log.log(event="resume", path=args.checkpoint, spp=int(r.state.accumulations))
 
     if args.adaptive_tol is not None:
-        if args.checkpoint:
-            raise SystemExit("--adaptive-tol does not support --checkpoint "
-                             "(per-pixel counts are not serialized)")
         t0 = time.perf_counter()
         img, stats = r.render_adaptive(args.adaptive_tol, max_spp=args.spp)
         log.log(event="adaptive", wall=round(time.perf_counter() - t0, 2),
                 **stats)
+        if args.checkpoint:
+            # per-pixel counts serialize (render/checkpoint.py), so an
+            # adaptive render resumes with an exact count-aware resolve
+            ckpt.save(args.checkpoint, r.state, policy, args.width, args.height)
+            log.log(event="checkpoint", path=args.checkpoint,
+                    spp=int(r.state.accumulations))
         if args.out:
             image_io.store(args.out, img)
             log.log(event="wrote", path=args.out)

@@ -155,8 +155,12 @@ class Renderer:
         b = self.policy.accumulation_buckets
         npix = self.width * self.height
         warmup = -(-(warmup or 4 * b) // b) * b
-        self.accumulate(warmup)
-        traced = warmup * npix
+        # resume-aware: a loaded checkpoint may already be past warmup
+        need = max(0, warmup - int(self.state.accumulations))
+        need = -(-need // b) * b
+        if need:
+            self.accumulate(need)
+        traced = need * npix
         # static-size tiers so each subset size compiles once
         tiers = []
         t = npix
