@@ -26,6 +26,10 @@ def main():
                     choices=["ray", "tilebox", "hybrid"])
     ap.add_argument("--size", type=int, default=384)
     ap.add_argument("--bounces", type=int, default=8)
+    ap.add_argument("--plan-block", type=int, default=8,
+                    help="ray-tiles per planner program (multiple of 8)")
+    ap.add_argument("--unroll", type=int, default=1, choices=[1, 2, 4, 8],
+                    help="cluster visits per traversal-loop trip")
     args = ap.parse_args()
 
     import jax
@@ -70,7 +74,9 @@ def main():
         scene = scenes[key]
         policy = RendererPolicy(max_bounces=args.bounces, accel="pallas",
                                 pallas_tile_rays=int(tile),
-                                pallas_mxu=args.mxu, pallas_plan=args.plan)
+                                pallas_mxu=args.mxu, pallas_plan=args.plan,
+                                pallas_plan_block=args.plan_block,
+                                pallas_unroll=args.unroll)
 
         @jax.jit
         def counted(scene, policy=policy):
@@ -100,6 +106,7 @@ def main():
         print(json.dumps({
             "mesh": args.mesh, "method": method, "K": ksize,
             "tile": int(tile), "mxu": args.mxu, "plan": args.plan,
+            "plan_block": args.plan_block, "unroll": args.unroll,
             "ms_per_pass": round(per_pass * 1e3, 2),
             "Mrays_per_s": round(rays_per_pass / per_pass / 1e6, 2),
         }), flush=True)

@@ -48,7 +48,8 @@ def _pallas_kw(policy) -> dict:
     """pallas_* knobs from a RendererPolicy (defaults when policy is None)."""
     if policy is None:
         return {"tile_r": _tk.DEFAULT_TILE_R, "sort": True, "compact": False,
-                "interpret": False, "mxu": False, "plan": "ray"}
+                "interpret": False, "mxu": False, "plan": "ray",
+                "plan_block": 8, "unroll": 1}
     return {
         "tile_r": policy.pallas_tile_rays,
         "sort": policy.pallas_sort_visits,
@@ -56,6 +57,8 @@ def _pallas_kw(policy) -> dict:
         "interpret": policy.pallas_interpret,
         "mxu": policy.pallas_mxu,
         "plan": policy.pallas_plan,
+        "plan_block": policy.pallas_plan_block,
+        "unroll": policy.pallas_unroll,
     }
 
 

@@ -345,7 +345,7 @@ def _tilebox_entry_row(slabs, px, py, pz, dx, dy, dz, tf, ok, c_real):
     return jnp.where(lane < c_real, row, big)
 
 
-def _make_plan_kernel_tilebox(c_real: int, tile_r: int):
+def _make_plan_kernel_tilebox(c_real: int, tile_r: int, ppb: int = 8):
     def kernel(*refs):
         slabs = refs[:6]
         (px, py, pz, dx, dy, dz, tf, valid) = refs[6:14]
@@ -360,12 +360,12 @@ def _make_plan_kernel_tilebox(c_real: int, tile_r: int):
             )
             return 0
 
-        jax.lax.fori_loop(0, 8, body, 0)
+        jax.lax.fori_loop(0, ppb, body, 0)
 
     return kernel
 
 
-def _make_plan_kernel_hybrid(c_real: int, tile_r: int):
+def _make_plan_kernel_hybrid(c_real: int, tile_r: int, ppb: int = 8):
     """Per-tile planner dispatch: direction-sign-coherent tiles (all of
     camera rays, most shadow/early-bounce tiles under tile ray order) take
     the ~TILE_R x cheaper interval row; incoherent tiles — where the
@@ -409,15 +409,18 @@ def _make_plan_kernel_hybrid(c_real: int, tile_r: int):
 
             return 0
 
-        jax.lax.fori_loop(0, 8, body, 0)
+        jax.lax.fori_loop(0, ppb, body, 0)
 
     return kernel
 
 
-def _make_plan_kernel(c_real: int, tile_r: int):
-    """One program plans 8 consecutive tiles (output blocks must be
-    8-sublane-divisible); the per-tile reduce is an unrolled static-slice
-    loop — no in-kernel reshape across the sublane dim."""
+def _make_plan_kernel(c_real: int, tile_r: int, ppb: int = 8):
+    """One program plans `ppb` consecutive tiles (output blocks must be
+    8-sublane-divisible, so ppb is a multiple of 8); the per-tile reduce is
+    a fori static-slice loop — no in-kernel reshape across the sublane dim.
+    Larger ppb amortizes per-program fixed cost (block copies, grid
+    bookkeeping) over more tiles — the planner measured ~4.8 us/tile of
+    fixed overhead vs ~0.3 us of battery at the 20k config."""
 
     def kernel(*refs):
         slabs = refs[:6]
@@ -436,13 +439,14 @@ def _make_plan_kernel(c_real: int, tile_r: int):
         # fori (not unrolled): Mosaic reuses the body's VMEM stack — the
         # unrolled form held 8 tiles of slab temporaries live at once and
         # blew the 16 MB scoped-vmem limit at Cp=896 (100k tris, 4K chunks)
-        jax.lax.fori_loop(0, 8, body, 0)
+        jax.lax.fori_loop(0, ppb, body, 0)
 
     return kernel
 
 
 def _plan_visits(cp: ClusteredPrims, ray_in, t_tiles: int, tile_r: int,
-                 sort: bool, interpret: bool, plan: str = "ray"):
+                 sort: bool, interpret: bool, plan: str = "ray",
+                 plan_block: int = 8):
     """Per ray-tile broad phase. Returns (visit [T,C] i32 cluster ids sorted
     near-to-far, entry [T,C] f32 sorted tile-min entry distances (FLT_MAX
     past the end), nvis [T,1] i32). T must be a multiple of 8 (both this
@@ -454,20 +458,24 @@ def _plan_visits(cp: ClusteredPrims, ray_in, t_tiles: int, tile_r: int,
     by the traversal kernel.
     """
     c = cp.num_clusters
+    ppb = plan_block
+    while t_tiles % ppb:  # t_tiles is a multiple of 8; shrink ppb to fit
+        ppb //= 2
+    ppb = max(ppb, 8)
     slabs, cpad = _slab_rows(cp)
     slabs = _match_vma(slabs, ray_in[0])
     slab_spec = pl.BlockSpec((8, cpad), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    col8 = pl.BlockSpec((8 * tile_r, 1), lambda i: (i, 0),
+    colb = pl.BlockSpec((ppb * tile_r, 1), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
     maker = {
         "tilebox": _make_plan_kernel_tilebox,
         "hybrid": _make_plan_kernel_hybrid,
     }.get(plan, _make_plan_kernel)
     entry_t = pl.pallas_call(
-        maker(c, tile_r),
-        grid=(t_tiles // 8,),
-        in_specs=[slab_spec] * 6 + [col8] * 8,
-        out_specs=pl.BlockSpec((8, cpad), lambda i: (i, 0),
+        maker(c, tile_r, ppb),
+        grid=(t_tiles // ppb,),
+        in_specs=[slab_spec] * 6 + [colb] * 8,
+        out_specs=pl.BlockSpec((ppb, cpad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=_out_struct((t_tiles, cpad), jnp.float32, ray_in[0]),
         interpret=interpret,
@@ -490,7 +498,8 @@ def _plan_visits(cp: ClusteredPrims, ray_in, t_tiles: int, tile_r: int,
 # ---------------------------------------------------------------------------
 # Traversal kernels (visit lists + entry distances as SMEM scalars)
 # ---------------------------------------------------------------------------
-def _make_closest_kernel(kind: str, k_prims: int, mxu: bool = False):
+def _make_closest_kernel(kind: str, k_prims: int, mxu: bool = False,
+                         unroll: int = 1):
     battery = _BATTERIES[kind]
     use_mxu = mxu and kind == "triangle"
     n_attr = _N_ATTRS[kind]
@@ -516,10 +525,7 @@ def _make_closest_kernel(kind: str, k_prims: int, mxu: bool = False):
             pmat = jnp.concatenate([rpx, rpy, rpz], axis=1)
             dmat = jnp.concatenate([rdx, rdy, rdz], axis=1)
 
-        def cond(j):
-            return (j < n) & (entry[row, j] < mx[0, 0])
-
-        def body(j):
+        def visit_one(j):
             c = visit[row, j]
             if use_mxu:
                 t = _triangle_battery_mxu(pmat, dmat, attrs, c, k_prims)
@@ -538,24 +544,43 @@ def _make_closest_kernel(kind: str, k_prims: int, mxu: bool = False):
             tfar_out[:] = jnp.where(closer, best, tfar_out[:])
             prim_out[:] = jnp.where(closer, c * k_prims + arg, prim_out[:])
 
+        def cond(j):
+            return (j < n) & (entry[row, j] < mx[0, 0])
+
+        def body(j):
+            visit_one(j)
+            # Extra visits share one loop trip (fewer while-loop control
+            # round-trips). Each is gated on the same sorted-entry early-exit
+            # test the serial cond applies; skipping/extra-visiting past the
+            # bound cannot change results (a cluster with tile-entry >= the
+            # max live tfar can't beat any lane's current best). The entry
+            # index is clamped in-bounds — the j+u<n gate makes the clamped
+            # read's value irrelevant.
+            for u in range(1, unroll):
+                ju = jnp.minimum(j + u, n - 1)
+                @pl.when((j + u < n) & (entry[row, ju] < mx[0, 0]))
+                def _(ju=ju):
+                    visit_one(ju)
+
             # refresh the early-exit bound only every 8th visit: the
             # cross-sublane max -> SMEM write is a VPU->scalar sync that
             # would otherwise serialize the scalar unit against every
             # battery; a stale mx is LARGER, so the exit stays conservative
-            @pl.when(jax.lax.rem(j, 8) == 7)
+            @pl.when(jax.lax.rem(j, 8) == 8 - unroll)
             def _():
                 mx[0, 0] = jnp.max(
                     jnp.where(ok, jnp.minimum(tfar_out[:], bound), -FLT_MAX)
                 )
 
-            return j + 1
+            return j + unroll
 
         jax.lax.while_loop(cond, body, jnp.int32(0))
 
     return kernel
 
 
-def _make_shadow_kernel(kind: str, k_prims: int = 0, mxu: bool = False):
+def _make_shadow_kernel(kind: str, k_prims: int = 0, mxu: bool = False,
+                        unroll: int = 1):
     battery = _ANYHIT_BATTERIES[kind]
     use_mxu = mxu and kind == "triangle"
     n_attr = _N_ATTRS[kind]
@@ -582,10 +607,7 @@ def _make_shadow_kernel(kind: str, k_prims: int = 0, mxu: bool = False):
             pmat = jnp.concatenate([rpx, rpy, rpz], axis=1)
             dmat = jnp.concatenate([rdx, rdy, rdz], axis=1)
 
-        def cond(j):
-            return (j < n) & (entry[row, j] < mx[0, 0])
-
-        def body(j):
+        def visit_one(j):
             c = visit[row, j]
             if use_mxu:
                 occ = _triangle_battery_mxu(pmat, dmat, attrs, c, k_prims) < tf
@@ -594,12 +616,23 @@ def _make_shadow_kernel(kind: str, k_prims: int = 0, mxu: bool = False):
             hit = jnp.any(occ, axis=1, keepdims=True) & ok
             occ_out[:] = jnp.where(hit, 1, occ_out[:])
 
-            @pl.when(jax.lax.rem(j, 8) == 7)
+        def cond(j):
+            return (j < n) & (entry[row, j] < mx[0, 0])
+
+        def body(j):
+            visit_one(j)
+            for u in range(1, unroll):  # see closest kernel for semantics
+                ju = jnp.minimum(j + u, n - 1)
+                @pl.when((j + u < n) & (entry[row, ju] < mx[0, 0]))
+                def _(ju=ju):
+                    visit_one(ju)
+
+            @pl.when(jax.lax.rem(j, 8) == 8 - unroll)
             def _():
                 live = ok & (occ_out[:] == 0)
                 mx[0, 0] = jnp.max(jnp.where(live, bound, -FLT_MAX))
 
-            return j + 1
+            return j + unroll
 
         jax.lax.while_loop(cond, body, jnp.int32(0))
 
@@ -675,7 +708,9 @@ def _ray_cols(arrs, rp):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_r", "sort", "interpret", "mxu", "plan")
+    jax.jit,
+    static_argnames=("tile_r", "sort", "interpret", "mxu", "plan",
+                     "plan_block", "unroll"),
 )
 def intersect_clustered_pallas(
     cp: ClusteredPrims,
@@ -688,10 +723,15 @@ def intersect_clustered_pallas(
     interpret: bool = False,
     mxu: bool = False,
     plan: str = "ray",
+    plan_block: int = 8,
+    unroll: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Closest hit. Returns (tfar [R], prim_id [R] in ORIGINAL numbering,
     -1 = miss). `tfar0` seeds the search; `alive=False` lanes are planned
-    around and return miss."""
+    around and return miss. `plan_block` = ray-tiles planned per planner
+    program (multiple of 8); `unroll` in {1,2,4,8} = cluster visits per
+    traversal-loop trip — both bit-exact perf knobs."""
+    assert unroll in (1, 2, 4, 8), unroll
     num_rays = p.x.shape[0]
     tfar0 = jnp.full((num_rays,), FLT_MAX) if tfar0 is None else tfar0
     t_tiles = -(-(-(-num_rays // tile_r)) // 8) * 8
@@ -709,7 +749,7 @@ def intersect_clustered_pallas(
     )
     plan_in = ray_in[:6] + _ray_cols([(plan_tf, 0.0), (valid, 0.0)], rp)
     visit, entry, nvis = _plan_visits(cp, plan_in, t_tiles, tile_r, sort,
-                                      interpret, plan)
+                                      interpret, plan, plan_block)
     slabs, cpad = _slab_rows(cp)  # XLA dedupes with the plan kernel's copy
     attrs = _tables(cp)
     slabs = _match_vma(slabs, ray_in[0])
@@ -722,7 +762,7 @@ def intersect_clustered_pallas(
     col = pl.BlockSpec((tile_r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     table = pl.BlockSpec((c, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
     tfar, prim = pl.pallas_call(
-        _make_closest_kernel(cp.kind, k, mxu),
+        _make_closest_kernel(cp.kind, k, mxu, unroll),
         grid=(t_tiles,),
         in_specs=[smem_row(1), smem_row(c), smem_row(c)] + [slab_spec] * 6
         + [col] * 8 + [table] * n_attr,
@@ -742,7 +782,9 @@ def intersect_clustered_pallas(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_r", "sort", "interpret", "mxu", "plan")
+    jax.jit,
+    static_argnames=("tile_r", "sort", "interpret", "mxu", "plan",
+                     "plan_block", "unroll"),
 )
 def occluded_clustered_pallas(
     cp: ClusteredPrims,
@@ -754,10 +796,13 @@ def occluded_clustered_pallas(
     interpret: bool = False,
     mxu: bool = False,
     plan: str = "ray",
+    plan_block: int = 8,
+    unroll: int = 1,
 ) -> jnp.ndarray:
     """Any-hit: True where some prim lies at t in [0, tfar). Lanes with
     tfar <= 0 plan no visits (the renderer masks invalid shadow rays by
     tfar=0, renderer.py shadow-trace contract)."""
+    assert unroll in (1, 2, 4, 8), unroll
     num_rays = p.x.shape[0]
     t_tiles = -(-(-(-num_rays // tile_r)) // 8) * 8
     rp = t_tiles * tile_r
@@ -768,7 +813,7 @@ def occluded_clustered_pallas(
          (d.z, 1.0), (tfar, 0.0), (valid, 0.0)], rp,
     )
     visit, entry, nvis = _plan_visits(cp, ray_in, t_tiles, tile_r, sort,
-                                      interpret, plan)
+                                      interpret, plan, plan_block)
     slabs, cpad = _slab_rows(cp)
     attrs = _tables(cp)
     slabs = _match_vma(slabs, ray_in[0])
@@ -781,7 +826,7 @@ def occluded_clustered_pallas(
     col = pl.BlockSpec((tile_r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     table = pl.BlockSpec((c, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
     occ = pl.pallas_call(
-        _make_shadow_kernel(cp.kind, k, mxu),
+        _make_shadow_kernel(cp.kind, k, mxu, unroll),
         grid=(t_tiles,),
         in_specs=[smem_row(1), smem_row(c), smem_row(c)] + [slab_spec] * 6
         + [col] * 8 + [table] * n_attr,
@@ -867,12 +912,14 @@ def _gather_vec3_padded(v: Vec3, idx, r, padval) -> Vec3:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile_r", "sort", "interpret", "seg_len", "mxu", "plan")
+    static_argnames=("tile_r", "sort", "interpret", "seg_len", "mxu", "plan",
+                     "plan_block", "unroll"),
 )
 def intersect_clustered_pallas_compact(
     cp, p, d, alive, tfar0=None, tile_r: int = DEFAULT_TILE_R,
     sort: bool = True, interpret: bool = False,
     seg_len: int = DEFAULT_SEG_LEN, mxu: bool = False, plan: str = "ray",
+    plan_block: int = 8, unroll: int = 1,
 ):
     r = alive.shape[0]
     order, inv, rp = coherence_order(alive, d, seg_len)
@@ -883,18 +930,21 @@ def intersect_clustered_pallas_compact(
         tfar0=None if tfar0 is None else _pad1(tfar0, rp - r, 0.0)[order],
         alive=_pad1(alive, rp - r, False)[order],
         tile_r=tile_r, sort=sort, interpret=interpret, mxu=mxu, plan=plan,
+        plan_block=plan_block, unroll=unroll,
     )
     return tfar[inv[:r]], prim[inv[:r]]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile_r", "sort", "interpret", "seg_len", "mxu", "plan")
+    static_argnames=("tile_r", "sort", "interpret", "seg_len", "mxu", "plan",
+                     "plan_block", "unroll"),
 )
 def occluded_clustered_pallas_compact(
     cp, p, d, tfar, tile_r: int = DEFAULT_TILE_R, sort: bool = True,
     interpret: bool = False, seg_len: int = DEFAULT_SEG_LEN,
-    mxu: bool = False, plan: str = "ray",
+    mxu: bool = False, plan: str = "ray", plan_block: int = 8,
+    unroll: int = 1,
 ):
     r = tfar.shape[0]
     order, inv, rp = coherence_order(tfar > 0.0, d, seg_len)
@@ -904,5 +954,6 @@ def occluded_clustered_pallas_compact(
         _gather_vec3_padded(d, order, r, 1.0),
         _pad1(tfar, rp - r, 0.0)[order],
         tile_r=tile_r, sort=sort, interpret=interpret, mxu=mxu, plan=plan,
+        plan_block=plan_block, unroll=unroll,
     )
     return occ[inv[:r]]

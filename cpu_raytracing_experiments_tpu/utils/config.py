@@ -67,6 +67,14 @@ class RendererPolicy:
     # dead lanes' clusters without reordering — see ARCHITECTURE.md)
     pallas_interpret: bool = False  # run the kernel in the Pallas interpreter
     # (CPU CI only; compiled Mosaic on TPU)
+    pallas_plan_block: int = 8  # ray-tiles planned per planner program
+    # (multiple of 8): larger blocks amortize the planner's per-program
+    # fixed cost (block copies + grid bookkeeping, measured ~4.8 us/tile vs
+    # ~0.3 us of battery at the 20k config); bit-exact knob
+    pallas_unroll: int = 1  # cluster visits per traversal-loop trip
+    # (1|2|4|8): fewer while-loop control round-trips per visit; each extra
+    # visit stays gated on the sorted-entry early-exit test, so results are
+    # bit-exact (tests/test_pallas_traverse.py)
     ray_order: str = "auto"  # 'auto' | 'tile' | 'raster': process rays in 16x16
     # pixel-tile order (the reference's tile decomposition, Renderer.hpp:75)
     # so each Pallas traversal tile sees a compact screen footprint — bounce

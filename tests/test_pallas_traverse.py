@@ -307,3 +307,31 @@ def test_mxu_battery_matches_vpu():
     np.testing.assert_allclose(
         np.asarray(t0)[hit], np.asarray(t1)[hit], rtol=1e-5, atol=1e-6
     )
+
+
+@pytest.mark.parametrize("unroll,plan_block", [(2, 8), (4, 32), (8, 16)])
+def test_unroll_and_plan_block_bit_exact(unroll, plan_block):
+    """The perf knobs (visits per traversal-loop trip, tiles per planner
+    program) must be bit-exact vs the defaults: with sorted entries,
+    gating each extra visit on the same early-exit test makes skipped /
+    extra visits provably result-neutral (a cluster whose tile entry
+    exceeds the max live tfar cannot beat any lane's best)."""
+    cp, _ = _sphere_setup(P=300)
+    p, d = _rays(777)  # non-tile-multiple ray count
+    alive = jnp.asarray(RNG.random(777) > 0.25)
+    t0, i0 = tk.intersect_clustered_pallas(
+        cp, p, d, None, alive, tile_r=64, interpret=True
+    )
+    t1, i1 = tk.intersect_clustered_pallas(
+        cp, p, d, None, alive, tile_r=64, interpret=True,
+        unroll=unroll, plan_block=plan_block,
+    )
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    tf = jnp.where(alive, jnp.float32(10.0), jnp.float32(0.0))
+    o0 = tk.occluded_clustered_pallas(cp, p, d, tf, tile_r=64, interpret=True)
+    o1 = tk.occluded_clustered_pallas(
+        cp, p, d, tf, tile_r=64, interpret=True,
+        unroll=unroll, plan_block=plan_block,
+    )
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
