@@ -49,7 +49,7 @@ def _pallas_kw(policy) -> dict:
     if policy is None:
         return {"tile_r": _tk.DEFAULT_TILE_R, "sort": True, "compact": False,
                 "interpret": False, "mxu": False, "plan": "ray",
-                "plan_block": 8, "unroll": 1}
+                "plan_block": 8, "unroll": 1, "fuse": False, "trav_block": 1}
     return {
         "tile_r": policy.pallas_tile_rays,
         "sort": policy.pallas_sort_visits,
@@ -59,6 +59,8 @@ def _pallas_kw(policy) -> dict:
         "plan": policy.pallas_plan,
         "plan_block": policy.pallas_plan_block,
         "unroll": policy.pallas_unroll,
+        "fuse": policy.pallas_fuse,
+        "trav_block": policy.pallas_trav_block,
     }
 
 

@@ -499,7 +499,7 @@ def _plan_visits(cp: ClusteredPrims, ray_in, t_tiles: int, tile_r: int,
 # Traversal kernels (visit lists + entry distances as SMEM scalars)
 # ---------------------------------------------------------------------------
 def _make_closest_kernel(kind: str, k_prims: int, mxu: bool = False,
-                         unroll: int = 1):
+                         unroll: int = 1, fuse: bool = False, tb: int = 1):
     battery = _BATTERIES[kind]
     use_mxu = mxu and kind == "triangle"
     n_attr = _N_ATTRS[kind]
@@ -511,76 +511,157 @@ def _make_closest_kernel(kind: str, k_prims: int, mxu: bool = False,
         attrs = refs[17 : 17 + n_attr]
         tfar_out, prim_out = refs[17 + n_attr : 19 + n_attr]
         mx = refs[19 + n_attr]
-        row = jax.lax.rem(pl.program_id(0), 8)
-        tfar_out[:] = tfin[:]
-        prim_out[:] = jnp.full(prim_out.shape, -1, jnp.int32)
-        ok = valid[:] > 0
-        rpx, rpy, rpz = px[:], py[:], pz[:]
-        rdx, rdy, rdz = dx[:], dy[:], dz[:]
-        root = _root_exit_bound(slabs, rpx, rpy, rpz, rdx, rdy, rdz)
-        bound = jnp.minimum(tfin[:], root)
-        mx[0, 0] = jnp.max(jnp.where(ok, bound, -FLT_MAX))
-        n = nvis[row, 0]
-        if use_mxu:  # [TILE_R, 3] ray matrices, hoisted out of the loop
-            pmat = jnp.concatenate([rpx, rpy, rpz], axis=1)
-            dmat = jnp.concatenate([rdx, rdy, rdz], axis=1)
 
-        def visit_one(j):
-            c = visit[row, j]
-            if use_mxu:
-                t = _triangle_battery_mxu(pmat, dmat, attrs, c, k_prims)
-            else:
-                t = battery(rpx, rpy, rpz, rdx, rdy, rdz, attrs, c)
-            best = jnp.min(t, axis=1, keepdims=True)
-            # first-match min-iota instead of argmin: the (f32,i32)
-            # tuple-reduce lowers poorly on the VPU (~13% of the whole
-            # brute battery); same first-occurrence tie-break, bit-exact
-            lanes = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-            arg = jnp.min(
-                jnp.where(t == best, lanes, jnp.int32(1 << 30)),
-                axis=1, keepdims=True,
-            )
-            closer = (best < tfar_out[:]) & ok
-            tfar_out[:] = jnp.where(closer, best, tfar_out[:])
-            prim_out[:] = jnp.where(closer, c * k_prims + arg, prim_out[:])
+        def one_tile(row, u, _):
+            s = pl.ds(u * px.shape[0] // tb, px.shape[0] // tb)
+            tf0 = tfin[s, :]
+            ok = valid[s, :] > 0
+            rpx, rpy, rpz = px[s, :], py[s, :], pz[s, :]
+            rdx, rdy, rdz = dx[s, :], dy[s, :], dz[s, :]
+            root = _root_exit_bound(slabs, rpx, rpy, rpz, rdx, rdy, rdz)
+            bound = jnp.minimum(tf0, root)
+            mx[0, 0] = jnp.max(jnp.where(ok, bound, -FLT_MAX))
+            n = nvis[row, 0]
+            if use_mxu:  # [TILE_R, 3] ray matrices, hoisted out of the loop
+                pmat = jnp.concatenate([rpx, rpy, rpz], axis=1)
+                dmat = jnp.concatenate([rdx, rdy, rdz], axis=1)
 
-        def cond(j):
-            return (j < n) & (entry[row, j] < mx[0, 0])
+            def battery_at(c):
+                if use_mxu:
+                    return _triangle_battery_mxu(pmat, dmat, attrs, c, k_prims)
+                return battery(rpx, rpy, rpz, rdx, rdy, rdz, attrs, c)
 
-        def body(j):
-            visit_one(j)
-            # Extra visits share one loop trip (fewer while-loop control
-            # round-trips). Each is gated on the same sorted-entry early-exit
-            # test the serial cond applies; skipping/extra-visiting past the
-            # bound cannot change results (a cluster with tile-entry >= the
-            # max live tfar can't beat any lane's current best). The entry
-            # index is clamped in-bounds — the j+u<n gate makes the clamped
-            # read's value irrelevant.
-            for u in range(1, unroll):
-                ju = jnp.minimum(j + u, n - 1)
-                @pl.when((j + u < n) & (entry[row, ju] < mx[0, 0]))
-                def _(ju=ju):
-                    visit_one(ju)
-
-            # refresh the early-exit bound only every 8th visit: the
-            # cross-sublane max -> SMEM write is a VPU->scalar sync that
-            # would otherwise serialize the scalar unit against every
-            # battery; a stale mx is LARGER, so the exit stays conservative
-            @pl.when(jax.lax.rem(j, 8) == 8 - unroll)
-            def _():
-                mx[0, 0] = jnp.max(
-                    jnp.where(ok, jnp.minimum(tfar_out[:], bound), -FLT_MAX)
+            def select_best(t, tfc, prc, packed_of):
+                best = jnp.min(t, axis=1, keepdims=True)
+                # first-match min-iota instead of argmin: the (f32,i32)
+                # tuple-reduce lowers poorly on the VPU (~13% of the whole
+                # brute battery); same first-occurrence tie-break, bit-exact
+                lanes = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+                arg = jnp.min(
+                    jnp.where(t == best, lanes, jnp.int32(1 << 30)),
+                    axis=1, keepdims=True,
                 )
+                closer = (best < tfc) & ok
+                return (jnp.where(closer, best, tfc),
+                        jnp.where(closer, packed_of(arg), prc))
 
-            return j + unroll
+            if not fuse:
+                tfar_out[s, :] = tf0
+                prim_out[s, :] = jnp.full((px.shape[0] // tb, 1), -1,
+                                          jnp.int32)
 
-        jax.lax.while_loop(cond, body, jnp.int32(0))
+                def visit_one(j):
+                    c = visit[row, j]
+                    tfc, prc = select_best(
+                        battery_at(c), tfar_out[s, :], prim_out[s, :],
+                        lambda arg: c * k_prims + arg,
+                    )
+                    tfar_out[s, :] = tfc
+                    prim_out[s, :] = prc
+
+                def cond(j):
+                    return (j < n) & (entry[row, j] < mx[0, 0])
+
+                def body(j):
+                    visit_one(j)
+                    # Extra visits share one loop trip (fewer while-loop
+                    # control round-trips). Each is gated on the same
+                    # sorted-entry early-exit test the serial cond applies;
+                    # skipping/extra-visiting past the bound cannot change
+                    # results (a cluster with tile-entry >= the max live
+                    # tfar can't beat any lane's current best). The entry
+                    # index is clamped in-bounds — the j+u<n gate makes the
+                    # clamped read's value irrelevant.
+                    for u2 in range(1, unroll):
+                        ju = jnp.minimum(j + u2, n - 1)
+                        @pl.when((j + u2 < n) & (entry[row, ju] < mx[0, 0]))
+                        def _(ju=ju):
+                            visit_one(ju)
+
+                    # refresh the early-exit bound only every 8th visit: the
+                    # cross-sublane max -> SMEM write is a VPU->scalar sync
+                    # that would otherwise serialize the scalar unit against
+                    # every battery; a stale mx is LARGER, so the exit stays
+                    # conservative
+                    @pl.when(jax.lax.rem(j, 8) == 8 - unroll)
+                    def _():
+                        mx[0, 0] = jnp.max(
+                            jnp.where(
+                                ok,
+                                jnp.minimum(tfar_out[s, :], bound),
+                                -FLT_MAX,
+                            )
+                        )
+
+                    return j + unroll
+
+                jax.lax.while_loop(cond, body, jnp.int32(0))
+            else:
+                # Fused paired visits with loop-carried hit state: two
+                # clusters' batteries concatenate into one [TILE_R, 2K]
+                # block, so the min / min-iota reductions and the closer/
+                # select epilogue run once per PAIR, and the running
+                # (tfar, prim) ride the while_loop carry instead of VMEM
+                # refs (no per-visit load/store). Bit-exact vs the serial
+                # loop: lanes of the first cluster come first in the
+                # concat, so the lexicographic (t, lane) tie-break keeps
+                # the visit-order-first semantics, and the second visit's
+                # gate (j+1 < n, sorted entry below the stale bound) is the
+                # same test the serial pl.when applies.
+                def cond(state):
+                    j = state[0]
+                    return (j < n) & (entry[row, j] < mx[0, 0])
+
+                def body(state):
+                    j, tfc, prc = state
+                    c0 = visit[row, j]
+                    j1 = jnp.minimum(j + 1, n - 1)
+                    use1 = (j + 1 < n) & (entry[row, j1] < mx[0, 0])
+                    c1 = visit[row, j1]
+                    t0 = battery_at(c0)
+                    t1 = jnp.where(use1, battery_at(c1), FLT_MAX)
+                    t = jnp.concatenate([t0, t1], axis=1)
+                    tfc, prc = select_best(
+                        t, tfc, prc,
+                        lambda arg: jnp.where(
+                            arg < k_prims,
+                            c0 * k_prims + arg,
+                            c1 * k_prims + (arg - k_prims),
+                        ),
+                    )
+
+                    @pl.when(jax.lax.rem(j, 8) == 6)
+                    def _():
+                        mx[0, 0] = jnp.max(
+                            jnp.where(ok, jnp.minimum(tfc, bound), -FLT_MAX)
+                        )
+
+                    return j + 2, tfc, prc
+
+                _, tfc, prc = jax.lax.while_loop(
+                    cond, body,
+                    (jnp.int32(0), tf0,
+                     jnp.full((px.shape[0] // tb, 1), -1, jnp.int32)),
+                )
+                tfar_out[s, :] = tfc
+                prim_out[s, :] = prc
+            return 0
+
+        if tb == 1:
+            one_tile(jax.lax.rem(pl.program_id(0), 8), 0, 0)
+        else:
+            # one program walks `tb` tiles (its whole 8-row SMEM block):
+            # per-program fixed cost (block copies, grid bookkeeping,
+            # out-spec plumbing) amortizes over tb tiles
+            jax.lax.fori_loop(
+                0, tb, lambda u, _: one_tile(u, u, 0), 0
+            )
 
     return kernel
 
 
 def _make_shadow_kernel(kind: str, k_prims: int = 0, mxu: bool = False,
-                        unroll: int = 1):
+                        unroll: int = 1, fuse: bool = False, tb: int = 1):
     battery = _ANYHIT_BATTERIES[kind]
     use_mxu = mxu and kind == "triangle"
     n_attr = _N_ATTRS[kind]
@@ -592,49 +673,100 @@ def _make_shadow_kernel(kind: str, k_prims: int = 0, mxu: bool = False,
         attrs = refs[17 : 17 + n_attr]
         occ_out = refs[17 + n_attr]
         mx = refs[18 + n_attr]
-        row = jax.lax.rem(pl.program_id(0), 8)
-        occ_out[:] = jnp.zeros(occ_out.shape, jnp.int32)
-        ok = valid[:] > 0
-        tf = tfar[:]
-        rpx, rpy, rpz = px[:], py[:], pz[:]
-        rdx, rdy, rdz = dx[:], dy[:], dz[:]
-        root = _root_exit_bound(slabs, rpx, rpy, rpz, rdx, rdy, rdz)
-        bound = jnp.minimum(tf, root)
-        # worst unoccluded distance: clusters entirely beyond it can't occlude
-        mx[0, 0] = jnp.max(jnp.where(ok, bound, -FLT_MAX))
-        n = nvis[row, 0]
-        if use_mxu:
-            pmat = jnp.concatenate([rpx, rpy, rpz], axis=1)
-            dmat = jnp.concatenate([rdx, rdy, rdz], axis=1)
 
-        def visit_one(j):
-            c = visit[row, j]
+        def one_tile(row, u, _):
+            s = pl.ds(u * px.shape[0] // tb, px.shape[0] // tb)
+            ok = valid[s, :] > 0
+            tf = tfar[s, :]
+            rpx, rpy, rpz = px[s, :], py[s, :], pz[s, :]
+            rdx, rdy, rdz = dx[s, :], dy[s, :], dz[s, :]
+            root = _root_exit_bound(slabs, rpx, rpy, rpz, rdx, rdy, rdz)
+            bound = jnp.minimum(tf, root)
+            # worst unoccluded distance: clusters entirely beyond it can't
+            # occlude
+            mx[0, 0] = jnp.max(jnp.where(ok, bound, -FLT_MAX))
+            n = nvis[row, 0]
             if use_mxu:
-                occ = _triangle_battery_mxu(pmat, dmat, attrs, c, k_prims) < tf
+                pmat = jnp.concatenate([rpx, rpy, rpz], axis=1)
+                dmat = jnp.concatenate([rdx, rdy, rdz], axis=1)
+
+            def battery_at(c):
+                if use_mxu:
+                    return (
+                        _triangle_battery_mxu(pmat, dmat, attrs, c, k_prims)
+                        < tf
+                    )
+                return battery(rpx, rpy, rpz, rdx, rdy, rdz, tf, attrs, c)
+
+            if not fuse:
+                occ_out[s, :] = jnp.zeros((px.shape[0] // tb, 1), jnp.int32)
+
+                def visit_one(j):
+                    occ = battery_at(visit[row, j])
+                    hit = jnp.any(occ, axis=1, keepdims=True) & ok
+                    occ_out[s, :] = jnp.where(hit, 1, occ_out[s, :])
+
+                def cond(j):
+                    return (j < n) & (entry[row, j] < mx[0, 0])
+
+                def body(j):
+                    visit_one(j)
+                    for u2 in range(1, unroll):  # see closest kernel
+                        ju = jnp.minimum(j + u2, n - 1)
+                        @pl.when((j + u2 < n) & (entry[row, ju] < mx[0, 0]))
+                        def _(ju=ju):
+                            visit_one(ju)
+
+                    @pl.when(jax.lax.rem(j, 8) == 8 - unroll)
+                    def _():
+                        live = ok & (occ_out[s, :] == 0)
+                        mx[0, 0] = jnp.max(jnp.where(live, bound, -FLT_MAX))
+
+                    return j + unroll
+
+                jax.lax.while_loop(cond, body, jnp.int32(0))
             else:
-                occ = battery(rpx, rpy, rpz, rdx, rdy, rdz, tf, attrs, c)
-            hit = jnp.any(occ, axis=1, keepdims=True) & ok
-            occ_out[:] = jnp.where(hit, 1, occ_out[:])
+                # fused paired visits, occlusion bits carried (see the
+                # closest kernel's fused branch for the exactness argument;
+                # any-hit is order-insensitive so only the gates matter)
+                def cond(state):
+                    j = state[0]
+                    return (j < n) & (entry[row, j] < mx[0, 0])
 
-        def cond(j):
-            return (j < n) & (entry[row, j] < mx[0, 0])
+                def body(state):
+                    j, occv = state
+                    j1 = jnp.minimum(j + 1, n - 1)
+                    use1 = (j + 1 < n) & (entry[row, j1] < mx[0, 0])
+                    occ0 = battery_at(visit[row, j])
+                    occ1 = battery_at(visit[row, j1]) & use1
+                    hit = (
+                        jnp.any(jnp.concatenate([occ0, occ1], axis=1),
+                                axis=1, keepdims=True)
+                        & ok
+                    )
+                    occv = jnp.where(hit, 1, occv)
 
-        def body(j):
-            visit_one(j)
-            for u in range(1, unroll):  # see closest kernel for semantics
-                ju = jnp.minimum(j + u, n - 1)
-                @pl.when((j + u < n) & (entry[row, ju] < mx[0, 0]))
-                def _(ju=ju):
-                    visit_one(ju)
+                    @pl.when(jax.lax.rem(j, 8) == 6)
+                    def _():
+                        live = ok & (occv == 0)
+                        mx[0, 0] = jnp.max(jnp.where(live, bound, -FLT_MAX))
 
-            @pl.when(jax.lax.rem(j, 8) == 8 - unroll)
-            def _():
-                live = ok & (occ_out[:] == 0)
-                mx[0, 0] = jnp.max(jnp.where(live, bound, -FLT_MAX))
+                    return j + 2, occv
 
-            return j + unroll
+                _, occv = jax.lax.while_loop(
+                    cond, body,
+                    (jnp.int32(0),
+                     jnp.zeros((px.shape[0] // tb, 1), jnp.int32)),
+                )
+                occ_out[s, :] = occv
+            return 0
 
-        jax.lax.while_loop(cond, body, jnp.int32(0))
+        if tb == 1:
+            one_tile(jax.lax.rem(pl.program_id(0), 8), 0, 0)
+        else:
+            jax.lax.fori_loop(
+                0, tb, lambda u, _: one_tile(u, u, 0), 0
+            )
 
     return kernel
 
@@ -710,7 +842,7 @@ def _ray_cols(arrs, rp):
 @functools.partial(
     jax.jit,
     static_argnames=("tile_r", "sort", "interpret", "mxu", "plan",
-                     "plan_block", "unroll"),
+                     "plan_block", "unroll", "fuse", "trav_block"),
 )
 def intersect_clustered_pallas(
     cp: ClusteredPrims,
@@ -725,13 +857,20 @@ def intersect_clustered_pallas(
     plan: str = "ray",
     plan_block: int = 8,
     unroll: int = 1,
+    fuse: bool = False,
+    trav_block: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Closest hit. Returns (tfar [R], prim_id [R] in ORIGINAL numbering,
     -1 = miss). `tfar0` seeds the search; `alive=False` lanes are planned
-    around and return miss. `plan_block` = ray-tiles planned per planner
-    program (multiple of 8); `unroll` in {1,2,4,8} = cluster visits per
-    traversal-loop trip — both bit-exact perf knobs."""
+    around and return miss. Bit-exact perf knobs: `plan_block` = ray-tiles
+    planned per planner program (multiple of 8); `unroll` in {1,2,4,8} =
+    cluster visits per traversal-loop trip; `fuse` = paired visits with one
+    fused [TILE_R, 2K] reduction and loop-carried hit state (excludes
+    unroll>1); `trav_block` in {1,8} = ray-tiles walked per traversal
+    program (8 = one whole SMEM block, amortizing per-program fixed cost)."""
     assert unroll in (1, 2, 4, 8), unroll
+    assert not (fuse and unroll != 1), (fuse, unroll)
+    assert trav_block in (1, 8), trav_block
     num_rays = p.x.shape[0]
     tfar0 = jnp.full((num_rays,), FLT_MAX) if tfar0 is None else tfar0
     t_tiles = -(-(-(-num_rays // tile_r)) // 8) * 8
@@ -755,15 +894,17 @@ def intersect_clustered_pallas(
     slabs = _match_vma(slabs, ray_in[0])
     attrs = _match_vma(attrs, ray_in[0])
     n_attr = len(attrs)
+    smem_map = (lambda i: (i // 8, 0)) if trav_block == 1 else (lambda i: (i, 0))
     smem_row = lambda w: pl.BlockSpec(
-        (8, w), lambda i: (i // 8, 0), memory_space=pltpu.SMEM
+        (8, w), smem_map, memory_space=pltpu.SMEM
     )
     slab_spec = pl.BlockSpec((8, cpad), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    col = pl.BlockSpec((tile_r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((trav_block * tile_r, 1), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
     table = pl.BlockSpec((c, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
     tfar, prim = pl.pallas_call(
-        _make_closest_kernel(cp.kind, k, mxu, unroll),
-        grid=(t_tiles,),
+        _make_closest_kernel(cp.kind, k, mxu, unroll, fuse, trav_block),
+        grid=(t_tiles // trav_block,),
         in_specs=[smem_row(1), smem_row(c), smem_row(c)] + [slab_spec] * 6
         + [col] * 8 + [table] * n_attr,
         out_specs=[col, col],
@@ -784,7 +925,7 @@ def intersect_clustered_pallas(
 @functools.partial(
     jax.jit,
     static_argnames=("tile_r", "sort", "interpret", "mxu", "plan",
-                     "plan_block", "unroll"),
+                     "plan_block", "unroll", "fuse", "trav_block"),
 )
 def occluded_clustered_pallas(
     cp: ClusteredPrims,
@@ -798,11 +939,15 @@ def occluded_clustered_pallas(
     plan: str = "ray",
     plan_block: int = 8,
     unroll: int = 1,
+    fuse: bool = False,
+    trav_block: int = 1,
 ) -> jnp.ndarray:
     """Any-hit: True where some prim lies at t in [0, tfar). Lanes with
     tfar <= 0 plan no visits (the renderer masks invalid shadow rays by
     tfar=0, renderer.py shadow-trace contract)."""
     assert unroll in (1, 2, 4, 8), unroll
+    assert not (fuse and unroll != 1), (fuse, unroll)
+    assert trav_block in (1, 8), trav_block
     num_rays = p.x.shape[0]
     t_tiles = -(-(-(-num_rays // tile_r)) // 8) * 8
     rp = t_tiles * tile_r
@@ -819,15 +964,17 @@ def occluded_clustered_pallas(
     slabs = _match_vma(slabs, ray_in[0])
     attrs = _match_vma(attrs, ray_in[0])
     n_attr = len(attrs)
+    smem_map = (lambda i: (i // 8, 0)) if trav_block == 1 else (lambda i: (i, 0))
     smem_row = lambda w: pl.BlockSpec(
-        (8, w), lambda i: (i // 8, 0), memory_space=pltpu.SMEM
+        (8, w), smem_map, memory_space=pltpu.SMEM
     )
     slab_spec = pl.BlockSpec((8, cpad), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    col = pl.BlockSpec((tile_r, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    col = pl.BlockSpec((trav_block * tile_r, 1), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
     table = pl.BlockSpec((c, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
     occ = pl.pallas_call(
-        _make_shadow_kernel(cp.kind, k, mxu, unroll),
-        grid=(t_tiles,),
+        _make_shadow_kernel(cp.kind, k, mxu, unroll, fuse, trav_block),
+        grid=(t_tiles // trav_block,),
         in_specs=[smem_row(1), smem_row(c), smem_row(c)] + [slab_spec] * 6
         + [col] * 8 + [table] * n_attr,
         out_specs=col,
@@ -913,13 +1060,14 @@ def _gather_vec3_padded(v: Vec3, idx, r, padval) -> Vec3:
 @functools.partial(
     jax.jit,
     static_argnames=("tile_r", "sort", "interpret", "seg_len", "mxu", "plan",
-                     "plan_block", "unroll"),
+                     "plan_block", "unroll", "fuse", "trav_block"),
 )
 def intersect_clustered_pallas_compact(
     cp, p, d, alive, tfar0=None, tile_r: int = DEFAULT_TILE_R,
     sort: bool = True, interpret: bool = False,
     seg_len: int = DEFAULT_SEG_LEN, mxu: bool = False, plan: str = "ray",
-    plan_block: int = 8, unroll: int = 1,
+    plan_block: int = 8, unroll: int = 1, fuse: bool = False,
+    trav_block: int = 1,
 ):
     r = alive.shape[0]
     order, inv, rp = coherence_order(alive, d, seg_len)
@@ -930,7 +1078,8 @@ def intersect_clustered_pallas_compact(
         tfar0=None if tfar0 is None else _pad1(tfar0, rp - r, 0.0)[order],
         alive=_pad1(alive, rp - r, False)[order],
         tile_r=tile_r, sort=sort, interpret=interpret, mxu=mxu, plan=plan,
-        plan_block=plan_block, unroll=unroll,
+        plan_block=plan_block, unroll=unroll, fuse=fuse,
+        trav_block=trav_block,
     )
     return tfar[inv[:r]], prim[inv[:r]]
 
@@ -938,13 +1087,13 @@ def intersect_clustered_pallas_compact(
 @functools.partial(
     jax.jit,
     static_argnames=("tile_r", "sort", "interpret", "seg_len", "mxu", "plan",
-                     "plan_block", "unroll"),
+                     "plan_block", "unroll", "fuse", "trav_block"),
 )
 def occluded_clustered_pallas_compact(
     cp, p, d, tfar, tile_r: int = DEFAULT_TILE_R, sort: bool = True,
     interpret: bool = False, seg_len: int = DEFAULT_SEG_LEN,
     mxu: bool = False, plan: str = "ray", plan_block: int = 8,
-    unroll: int = 1,
+    unroll: int = 1, fuse: bool = False, trav_block: int = 1,
 ):
     r = tfar.shape[0]
     order, inv, rp = coherence_order(tfar > 0.0, d, seg_len)
@@ -954,6 +1103,7 @@ def occluded_clustered_pallas_compact(
         _gather_vec3_padded(d, order, r, 1.0),
         _pad1(tfar, rp - r, 0.0)[order],
         tile_r=tile_r, sort=sort, interpret=interpret, mxu=mxu, plan=plan,
-        plan_block=plan_block, unroll=unroll,
+        plan_block=plan_block, unroll=unroll, fuse=fuse,
+        trav_block=trav_block,
     )
     return occ[inv[:r]]

@@ -75,6 +75,15 @@ class RendererPolicy:
     # (1|2|4|8): fewer while-loop control round-trips per visit; each extra
     # visit stays gated on the sorted-entry early-exit test, so results are
     # bit-exact (tests/test_pallas_traverse.py)
+    pallas_fuse: bool = False  # fused paired visits: two clusters' batteries
+    # concatenate into one [TILE_R, 2K] block (one min/min-iota reduction +
+    # one select epilogue per PAIR) and the running hit state rides the
+    # while-loop carry instead of VMEM refs; bit-exact (excludes
+    # pallas_unroll > 1)
+    pallas_trav_block: int = 1  # ray-tiles walked per traversal program
+    # (1|8): 8 = one whole SMEM visit-list block per program, amortizing
+    # per-program fixed cost (a zero-work traversal measures ~5 us/tile);
+    # bit-exact knob
     ray_order: str = "auto"  # 'auto' | 'tile' | 'raster': process rays in 16x16
     # pixel-tile order (the reference's tile decomposition, Renderer.hpp:75)
     # so each Pallas traversal tile sees a compact screen footprint — bounce
@@ -168,6 +177,11 @@ class RendererPolicy:
             "uniform", "power", "ris", "restir"
         ), self.light_sampling
         assert self.accumulation_buckets % 2 == 1, "median needs odd buckets"
+        assert self.pallas_unroll in (1, 2, 4, 8), self.pallas_unroll
+        assert not (self.pallas_fuse and self.pallas_unroll != 1), (
+            "pallas_fuse replaces the unroll schedule (paired visits)"
+        )
+        assert self.pallas_trav_block in (1, 8), self.pallas_trav_block
 
 
 @dataclasses.dataclass(frozen=True)

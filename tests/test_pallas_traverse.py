@@ -335,3 +335,56 @@ def test_unroll_and_plan_block_bit_exact(unroll, plan_block):
         unroll=unroll, plan_block=plan_block,
     )
     np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+
+@pytest.mark.parametrize("fuse,trav_block", [(True, 1), (False, 8), (True, 8)])
+def test_fuse_and_trav_block_bit_exact(fuse, trav_block):
+    """Fused paired visits (one [TILE_R, 2K] reduction + loop-carried hit
+    state per pair) and the 8-tiles-per-program traversal schedule must be
+    bit-exact vs the serial defaults: the concat keeps first-cluster lanes
+    first (visit-order tie-break preserved) and the pair's second visit is
+    gated on the same sorted-entry early-exit test the serial pl.when
+    applies; trav_block only re-batches whole tiles onto one program."""
+    cp, _ = _sphere_setup(P=300)
+    p, d = _rays(777)  # non-tile-multiple ray count
+    alive = jnp.asarray(RNG.random(777) > 0.25)
+    t0, i0 = tk.intersect_clustered_pallas(
+        cp, p, d, None, alive, tile_r=64, interpret=True
+    )
+    t1, i1 = tk.intersect_clustered_pallas(
+        cp, p, d, None, alive, tile_r=64, interpret=True,
+        fuse=fuse, trav_block=trav_block,
+    )
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    tf = jnp.where(alive, jnp.float32(10.0), jnp.float32(0.0))
+    o0 = tk.occluded_clustered_pallas(cp, p, d, tf, tile_r=64, interpret=True)
+    o1 = tk.occluded_clustered_pallas(
+        cp, p, d, tf, tile_r=64, interpret=True,
+        fuse=fuse, trav_block=trav_block,
+    )
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+
+def test_fuse_trav_block_triangles_and_seed():
+    """Triangle batteries + tfar0 seeding through the fused/batched path."""
+    P = 240
+    v0 = RNG.uniform(-4, 4, (P, 3)).astype(np.float32)
+    e1 = RNG.normal(0, 0.5, (P, 3)).astype(np.float32)
+    e2 = RNG.normal(0, 0.5, (P, 3)).astype(np.float32)
+    rows = np.concatenate([v0, e1, e2], axis=1)
+    mins = np.minimum(v0, np.minimum(v0 + e1, v0 + e2))
+    maxs = np.maximum(v0, np.maximum(v0 + e1, v0 + e2))
+    cp = clustered.build_clusters(mins, maxs, rows, num_clusters=4,
+                                  kind="triangle")
+    p, d = _rays(333)
+    seed = jnp.full((333,), 6.0)
+    t0, i0 = tk.intersect_clustered_pallas(
+        cp, p, d, tfar0=seed, tile_r=64, interpret=True
+    )
+    t1, i1 = tk.intersect_clustered_pallas(
+        cp, p, d, tfar0=seed, tile_r=64, interpret=True, fuse=True,
+        trav_block=8,
+    )
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
