@@ -30,6 +30,10 @@ def main():
                     help="ray-tiles per planner program (multiple of 8)")
     ap.add_argument("--unroll", type=int, default=1, choices=[1, 2, 4, 8],
                     help="cluster visits per traversal-loop trip")
+    ap.add_argument("--fuse", action="store_true",
+                    help="fused paired visits + loop-carried hit state")
+    ap.add_argument("--trav-block", type=int, default=1, choices=[1, 8],
+                    help="ray-tiles per traversal program")
     args = ap.parse_args()
 
     import jax
@@ -76,7 +80,9 @@ def main():
                                 pallas_tile_rays=int(tile),
                                 pallas_mxu=args.mxu, pallas_plan=args.plan,
                                 pallas_plan_block=args.plan_block,
-                                pallas_unroll=args.unroll)
+                                pallas_unroll=args.unroll,
+                                pallas_fuse=args.fuse,
+                                pallas_trav_block=args.trav_block)
 
         @jax.jit
         def counted(scene, policy=policy):
@@ -107,6 +113,7 @@ def main():
             "mesh": args.mesh, "method": method, "K": ksize,
             "tile": int(tile), "mxu": args.mxu, "plan": args.plan,
             "plan_block": args.plan_block, "unroll": args.unroll,
+            "fuse": args.fuse, "trav_block": args.trav_block,
             "ms_per_pass": round(per_pass * 1e3, 2),
             "Mrays_per_s": round(rays_per_pass / per_pass / 1e6, 2),
         }), flush=True)

@@ -43,11 +43,14 @@ def main():
         ),
     }
     failures = 0
+    hw_imgs = {}
     for name, (scene, p) in cases.items():
         size = 96 if name == "mesh" else SIZE
         r = Renderer(scene, p, size, size)
         r.accumulate(SPP)
         img = np.asarray(r.render(tonemap=False))
+        if p.accel == "pallas":
+            hw_imgs[name] = (scene, p, size, img)
         want = np.load(GOLDEN_DIR / f"{name}_{size}x{size}_{SPP}spp.npy")
         close = float(np.isclose(img, want, rtol=1e-3, atol=1e-4).mean())
         # cross-PLATFORM tolerance (TPU vs the CPU-rendered goldens) is
@@ -64,6 +67,20 @@ def main():
                 float(np.abs(img - want).mean() / max(want.mean(), 1e-6)), 6
             ),
             "ok": ok,
+        }), flush=True)
+    # bit-exact traversal-schedule knobs must stay bit-exact when
+    # Mosaic-COMPILED too (interpret mode accepts lowerings hardware
+    # rejects — and a miscompiled variant could silently render wrong)
+    for name, (scene, p, size, base_img) in hw_imgs.items():
+        pv = dataclasses.replace(p, pallas_fuse=True, pallas_trav_block=8)
+        r = Renderer(scene, pv, size, size)
+        r.accumulate(SPP)
+        img = np.asarray(r.render(tonemap=False))
+        ok = bool(np.array_equal(img, base_img))
+        failures += not ok
+        print(json.dumps({
+            "scene": name, "accel": "pallas(fuse,tb8)",
+            "bit_exact_vs_default": ok, "ok": ok,
         }), flush=True)
     sys.exit(1 if failures else 0)
 
