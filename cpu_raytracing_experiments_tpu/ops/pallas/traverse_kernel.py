@@ -270,15 +270,17 @@ def _tile_entry_row(slabs, rpx, rpy, rpz, rdx, rdy, rdz, tf, ok, c_real):
     return jnp.where(lane < c_real, row, FLT_MAX)
 
 
-def _root_exit_bound(slabs, rpx, rpy, rpz, rdx, rdy, rdz):
+def _root_exit_bound(root, rpx, rpy, rpz, rdx, rdy, rdz):
     """Per-ray exit distance of the ROOT AABB (union of cluster bounds),
     0 where the ray misses it entirely. Used to cap the early-exit bound:
     a ray that leaves the clustered geometry's bounds cannot hit anything
     beyond its root exit, so sky/miss rays stop forcing their tile to walk
-    its whole visit list (mx would otherwise stay FLT_MAX)."""
-    lox, loy, loz, hix, hiy, hiz = (s[0:1, :] for s in slabs)
-    rlx, rly, rlz = jnp.min(lox), jnp.min(loy), jnp.min(loz)
-    rhx, rhy, rhz = jnp.max(hix), jnp.max(hiy), jnp.max(hiz)
+    its whole visit list (mx would otherwise stay FLT_MAX). `root` is the
+    (1, 8) SMEM row of [lo.xyz, hi.xyz, 0, 0] scalars — the union is
+    tile-invariant, so it's reduced ONCE in XLA (loop-invariant, hoisted
+    out of the bounce loop) instead of re-reduced by every program."""
+    rlx, rly, rlz = root[0, 0], root[0, 1], root[0, 2]
+    rhx, rhy, rhz = root[0, 3], root[0, 4], root[0, 5]
     ix, iy, iz = 1.0 / rdx, 1.0 / rdy, 1.0 / rdz
     ax, bx = (rlx - rpx) * ix, (rhx - rpx) * ix
     tmin = jnp.minimum(ax, bx)
@@ -505,12 +507,11 @@ def _make_closest_kernel(kind: str, k_prims: int, mxu: bool = False,
     n_attr = _N_ATTRS[kind]
 
     def kernel(*refs):
-        (nvis, visit, entry) = refs[:3]
-        slabs = refs[3:9]
-        (px, py, pz, dx, dy, dz, tfin, valid) = refs[9:17]
-        attrs = refs[17 : 17 + n_attr]
-        tfar_out, prim_out = refs[17 + n_attr : 19 + n_attr]
-        mx = refs[19 + n_attr]
+        (nvis, visit, entry, root) = refs[:4]
+        (px, py, pz, dx, dy, dz, tfin, valid) = refs[4:12]
+        attrs = refs[12 : 12 + n_attr]
+        tfar_out, prim_out = refs[12 + n_attr : 14 + n_attr]
+        mx = refs[14 + n_attr]
 
         def one_tile(row, u, _):
             s = pl.ds(u * px.shape[0] // tb, px.shape[0] // tb)
@@ -518,8 +519,8 @@ def _make_closest_kernel(kind: str, k_prims: int, mxu: bool = False,
             ok = valid[s, :] > 0
             rpx, rpy, rpz = px[s, :], py[s, :], pz[s, :]
             rdx, rdy, rdz = dx[s, :], dy[s, :], dz[s, :]
-            root = _root_exit_bound(slabs, rpx, rpy, rpz, rdx, rdy, rdz)
-            bound = jnp.minimum(tf0, root)
+            rexit = _root_exit_bound(root, rpx, rpy, rpz, rdx, rdy, rdz)
+            bound = jnp.minimum(tf0, rexit)
             mx[0, 0] = jnp.max(jnp.where(ok, bound, -FLT_MAX))
             n = nvis[row, 0]
             if use_mxu:  # [TILE_R, 3] ray matrices, hoisted out of the loop
@@ -667,12 +668,11 @@ def _make_shadow_kernel(kind: str, k_prims: int = 0, mxu: bool = False,
     n_attr = _N_ATTRS[kind]
 
     def kernel(*refs):
-        (nvis, visit, entry) = refs[:3]
-        slabs = refs[3:9]
-        (px, py, pz, dx, dy, dz, tfar, valid) = refs[9:17]
-        attrs = refs[17 : 17 + n_attr]
-        occ_out = refs[17 + n_attr]
-        mx = refs[18 + n_attr]
+        (nvis, visit, entry, root) = refs[:4]
+        (px, py, pz, dx, dy, dz, tfar, valid) = refs[4:12]
+        attrs = refs[12 : 12 + n_attr]
+        occ_out = refs[12 + n_attr]
+        mx = refs[13 + n_attr]
 
         def one_tile(row, u, _):
             s = pl.ds(u * px.shape[0] // tb, px.shape[0] // tb)
@@ -680,8 +680,8 @@ def _make_shadow_kernel(kind: str, k_prims: int = 0, mxu: bool = False,
             tf = tfar[s, :]
             rpx, rpy, rpz = px[s, :], py[s, :], pz[s, :]
             rdx, rdy, rdz = dx[s, :], dy[s, :], dz[s, :]
-            root = _root_exit_bound(slabs, rpx, rpy, rpz, rdx, rdy, rdz)
-            bound = jnp.minimum(tf, root)
+            rexit = _root_exit_bound(root, rpx, rpy, rpz, rdx, rdy, rdz)
+            bound = jnp.minimum(tf, rexit)
             # worst unoccluded distance: clusters entirely beyond it can't
             # occlude
             mx[0, 0] = jnp.max(jnp.where(ok, bound, -FLT_MAX))
@@ -831,6 +831,17 @@ def _slab_rows(cp: ClusteredPrims):
     return out, cpad
 
 
+def _root_row(cp: ClusteredPrims):
+    """(1, 8) f32 row of the root AABB [lo.xyz, hi.xyz, 0, 0] — the union
+    of cluster bounds, reduced once in XLA (cp is bounce-loop-invariant, so
+    the reduction hoists) and handed to the traversal kernels via SMEM."""
+    return jnp.stack(
+        [jnp.min(cp.lo.x), jnp.min(cp.lo.y), jnp.min(cp.lo.z),
+         jnp.max(cp.hi.x), jnp.max(cp.hi.y), jnp.max(cp.hi.z),
+         jnp.float32(0.0), jnp.float32(0.0)]
+    ).astype(jnp.float32).reshape(1, 8)
+
+
 def _ray_cols(arrs, rp):
     out = []
     for a, padval in arrs:
@@ -889,23 +900,23 @@ def intersect_clustered_pallas(
     plan_in = ray_in[:6] + _ray_cols([(plan_tf, 0.0), (valid, 0.0)], rp)
     visit, entry, nvis = _plan_visits(cp, plan_in, t_tiles, tile_r, sort,
                                       interpret, plan, plan_block)
-    slabs, cpad = _slab_rows(cp)  # XLA dedupes with the plan kernel's copy
     attrs = _tables(cp)
-    slabs = _match_vma(slabs, ray_in[0])
     attrs = _match_vma(attrs, ray_in[0])
+    (root,) = _match_vma((_root_row(cp),), ray_in[0])
     n_attr = len(attrs)
     smem_map = (lambda i: (i // 8, 0)) if trav_block == 1 else (lambda i: (i, 0))
     smem_row = lambda w: pl.BlockSpec(
         (8, w), smem_map, memory_space=pltpu.SMEM
     )
-    slab_spec = pl.BlockSpec((8, cpad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    root_spec = pl.BlockSpec((1, 8), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
     col = pl.BlockSpec((trav_block * tile_r, 1), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     table = pl.BlockSpec((c, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
     tfar, prim = pl.pallas_call(
         _make_closest_kernel(cp.kind, k, mxu, unroll, fuse, trav_block),
         grid=(t_tiles // trav_block,),
-        in_specs=[smem_row(1), smem_row(c), smem_row(c)] + [slab_spec] * 6
+        in_specs=[smem_row(1), smem_row(c), smem_row(c), root_spec]
         + [col] * 8 + [table] * n_attr,
         out_specs=[col, col],
         out_shape=[
@@ -915,7 +926,7 @@ def intersect_clustered_pallas(
         scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(nvis, visit, entry, *slabs, *ray_in, *attrs)
+    )(nvis, visit, entry, root, *ray_in, *attrs)
     tfar = tfar[:num_rays, 0]
     packed = prim[:num_rays, 0]
     orig = jnp.where(packed >= 0, cp.order[jnp.maximum(packed, 0)], -1)
@@ -959,30 +970,30 @@ def occluded_clustered_pallas(
     )
     visit, entry, nvis = _plan_visits(cp, ray_in, t_tiles, tile_r, sort,
                                       interpret, plan, plan_block)
-    slabs, cpad = _slab_rows(cp)
     attrs = _tables(cp)
-    slabs = _match_vma(slabs, ray_in[0])
     attrs = _match_vma(attrs, ray_in[0])
+    (root,) = _match_vma((_root_row(cp),), ray_in[0])
     n_attr = len(attrs)
     smem_map = (lambda i: (i // 8, 0)) if trav_block == 1 else (lambda i: (i, 0))
     smem_row = lambda w: pl.BlockSpec(
         (8, w), smem_map, memory_space=pltpu.SMEM
     )
-    slab_spec = pl.BlockSpec((8, cpad), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    root_spec = pl.BlockSpec((1, 8), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM)
     col = pl.BlockSpec((trav_block * tile_r, 1), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     table = pl.BlockSpec((c, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
     occ = pl.pallas_call(
         _make_shadow_kernel(cp.kind, k, mxu, unroll, fuse, trav_block),
         grid=(t_tiles // trav_block,),
-        in_specs=[smem_row(1), smem_row(c), smem_row(c)] + [slab_spec] * 6
+        in_specs=[smem_row(1), smem_row(c), smem_row(c), root_spec]
         + [col] * 8 + [table] * n_attr,
         out_specs=col,
         out_shape=_out_struct((rp, 1), jnp.int32, ray_in[0]),
         scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(nvis, visit, entry, *slabs, *ray_in, *attrs)
+    )(nvis, visit, entry, root, *ray_in, *attrs)
     return occ[:num_rays, 0] > 0
 
 
