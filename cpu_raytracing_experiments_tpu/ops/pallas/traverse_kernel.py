@@ -428,20 +428,33 @@ def _make_plan_kernel(c_real: int, tile_r: int, ppb: int = 8):
         slabs = refs[:6]
         (px, py, pz, dx, dy, dz, tf, valid) = refs[6:14]
         out = refs[14]
+        cpad = out.shape[1]
+        sub = jax.lax.broadcasted_iota(jnp.int32, (8, cpad), 0)
 
-        def body(i, _):
+        def body(i, acc):
             s = pl.ds(i * tile_r, tile_r)
             ok = valid[s, :] > 0
-            out[pl.ds(i, 1), :] = _tile_entry_row(
+            row = _tile_entry_row(
                 slabs, px[s, :], py[s, :], pz[s, :], dx[s, :], dy[s, :],
                 dz[s, :], tf[s, :], ok, c_real,
             )
-            return 0
+            # accumulate rows in registers; a [1, Cp] row store is a
+            # partial-sublane write (read-modify-write per tile) — batching
+            # 8 rows per VMEM store keeps every store a full sublane group
+            return jnp.where(
+                sub == jax.lax.rem(i, 8), jnp.broadcast_to(row, (8, cpad)),
+                acc,
+            )
 
         # fori (not unrolled): Mosaic reuses the body's VMEM stack — the
         # unrolled form held 8 tiles of slab temporaries live at once and
         # blew the 16 MB scoped-vmem limit at Cp=896 (100k tris, 4K chunks)
-        jax.lax.fori_loop(0, ppb, body, 0)
+        for g in range(ppb // 8):
+            acc = jax.lax.fori_loop(
+                g * 8, g * 8 + 8, body,
+                jnp.zeros((8, cpad), jnp.float32),
+            )
+            out[pl.ds(g * 8, 8), :] = acc
 
     return kernel
 
@@ -823,9 +836,10 @@ def _slab_rows(cp: ClusteredPrims):
         (cp.lo.x, 1e30), (cp.lo.y, 1e30), (cp.lo.z, 1e30),
         (cp.hi.x, -1e30), (cp.hi.y, -1e30), (cp.hi.z, -1e30),
     ):
-        # pad lanes with +inf (lo) / -inf (hi): the entry-row mask already
-        # ignores them, and the in-kernel root-AABB reduces (min of lo,
-        # max of hi) stay correct
+        # pad lanes with +inf (lo) / -inf (hi): inverted boxes no ray can
+        # enter, and the entry-row c_real mask ignores them anyway (the
+        # root-AABB union is reduced in XLA from the unpadded cp tables —
+        # see _root_row)
         a = _pad1(a, cpad - c, pad)
         out.append(jnp.broadcast_to(a[None, :], (8, cpad)))
     return out, cpad
