@@ -785,6 +785,122 @@ def _make_shadow_kernel(kind: str, k_prims: int = 0, mxu: bool = False,
 
 
 # ---------------------------------------------------------------------------
+# HBM-streaming traversal (pallas_stream): cluster attribute tables stay in
+# HBM ([C*F, K] packed rows, memory_space=ANY) and each visit DMAs its
+# cluster's F rows into a double-buffered VMEM scratch, prefetching the next
+# visit while the current battery runs. Lifts the VMEM-residency ceiling
+# (~1M tris at the 64 MB grant) to HBM scale: per-visit traffic is F*K*4 B
+# (48 KB at K=1024) against a ~2.6 us battery — fully overlapped.
+# ---------------------------------------------------------------------------
+def _stream_kernels(kind: str, k_prims: int, shadow: bool):
+    battery = (_ANYHIT_BATTERIES if shadow else _BATTERIES)[kind]
+    n_attr = _N_ATTRS[kind]
+
+    def kernel(*refs):
+        (nvis, visit, entry, root) = refs[:4]
+        (px, py, pz, dx, dy, dz, tfin, valid) = refs[4:12]
+        packed = refs[12]  # [C*F, K] in HBM/ANY
+        if shadow:
+            occ_out = refs[13]
+            mx, buf, sem = refs[14:17]
+        else:
+            tfar_out, prim_out = refs[13:15]
+            mx, buf, sem = refs[15:18]
+        row = jax.lax.rem(pl.program_id(0), 8)
+        tf0 = tfin[:]
+        ok = valid[:] > 0
+        rpx, rpy, rpz = px[:], py[:], pz[:]
+        rdx, rdy, rdz = dx[:], dy[:], dz[:]
+        rexit = _root_exit_bound(root, rpx, rpy, rpz, rdx, rdy, rdz)
+        bound = jnp.minimum(tf0, rexit)
+        mx[0, 0] = jnp.max(jnp.where(ok, bound, -FLT_MAX))
+        n = nvis[row, 0]
+        if not shadow:
+            tfar_out[:] = tf0
+            prim_out[:] = jnp.full(prim_out.shape, -1, jnp.int32)
+        else:
+            occ_out[:] = jnp.zeros(occ_out.shape, jnp.int32)
+
+        def dma(j, slot):
+            c = visit[row, j]
+            return pltpu.make_async_copy(
+                packed.at[pl.ds(c * n_attr, n_attr), :],
+                buf.at[pl.ds(slot * n_attr, n_attr), :],
+                sem.at[slot],
+            )
+
+        @pl.when(n > 0)
+        def _():
+            dma(jnp.int32(0), jnp.int32(0)).start()
+
+        def cond(j):
+            return (j < n) & (entry[row, j] < mx[0, 0])
+
+        def body(j):
+            slot = jax.lax.rem(j, 2)
+            # prefetch the NEXT visit before blocking on the current one;
+            # a prefetch past the early-exit point is consumed by the
+            # post-loop cleanup wait (every start has a matching wait)
+            @pl.when(j + 1 < n)
+            def _():
+                dma(j + 1, 1 - slot).start()
+
+            dma(j, slot).wait()
+            base = slot * n_attr
+            attrs = tuple(
+                buf[pl.ds(base + f, 1), :] for f in range(n_attr)
+            )
+            if shadow:
+                occ = battery(rpx, rpy, rpz, rdx, rdy, rdz, tf0, attrs, 0)
+                hit = jnp.any(occ, axis=1, keepdims=True) & ok
+                occ_out[:] = jnp.where(hit, 1, occ_out[:])
+            else:
+                c = visit[row, j]
+                t = battery(rpx, rpy, rpz, rdx, rdy, rdz, attrs, 0)
+                best = jnp.min(t, axis=1, keepdims=True)
+                lanes = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+                arg = jnp.min(
+                    jnp.where(t == best, lanes, jnp.int32(1 << 30)),
+                    axis=1, keepdims=True,
+                )
+                closer = (best < tfar_out[:]) & ok
+                tfar_out[:] = jnp.where(closer, best, tfar_out[:])
+                prim_out[:] = jnp.where(closer, c * k_prims + arg,
+                                        prim_out[:])
+
+            @pl.when(jax.lax.rem(j, 8) == 7)
+            def _():
+                if shadow:
+                    live = ok & (occ_out[:] == 0)
+                    mx[0, 0] = jnp.max(jnp.where(live, bound, -FLT_MAX))
+                else:
+                    mx[0, 0] = jnp.max(
+                        jnp.where(ok, jnp.minimum(tfar_out[:], bound),
+                                  -FLT_MAX)
+                    )
+
+            return j + 1
+
+        j_exit = jax.lax.while_loop(cond, body, jnp.int32(0))
+
+        # drain the dangling prefetch (started for a trip that never ran)
+        @pl.when(j_exit < n)
+        def _():
+            dma(j_exit, jax.lax.rem(j_exit, 2)).wait()
+
+    return kernel
+
+
+def _tables_packed(cp: ClusteredPrims):
+    """[C*F, K] row-packed attribute planes for the streaming kernels:
+    cluster c's F attribute rows are contiguous, so one DMA fetches a whole
+    cluster."""
+    attrs = _tables(cp)
+    c, k = cp.num_clusters, cp.cluster_size
+    return jnp.stack(attrs, axis=1).reshape(c * len(attrs), k)
+
+
+# ---------------------------------------------------------------------------
 # Host-facing wrappers
 # ---------------------------------------------------------------------------
 def _tables(cp: ClusteredPrims):
@@ -867,7 +983,7 @@ def _ray_cols(arrs, rp):
 @functools.partial(
     jax.jit,
     static_argnames=("tile_r", "sort", "interpret", "mxu", "plan",
-                     "plan_block", "unroll", "fuse", "trav_block"),
+                     "plan_block", "unroll", "fuse", "trav_block", "stream"),
 )
 def intersect_clustered_pallas(
     cp: ClusteredPrims,
@@ -884,6 +1000,7 @@ def intersect_clustered_pallas(
     unroll: int = 1,
     fuse: bool = False,
     trav_block: int = 1,
+    stream: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Closest hit. Returns (tfar [R], prim_id [R] in ORIGINAL numbering,
     -1 = miss). `tfar0` seeds the search; `alive=False` lanes are planned
@@ -892,10 +1009,14 @@ def intersect_clustered_pallas(
     cluster visits per traversal-loop trip; `fuse` = paired visits with one
     fused [TILE_R, 2K] reduction and loop-carried hit state (excludes
     unroll>1); `trav_block` in {1,8} = ray-tiles walked per traversal
-    program (8 = one whole SMEM block, amortizing per-program fixed cost)."""
+    program (8 = one whole SMEM block, amortizing per-program fixed cost).
+    `stream` keeps the attribute tables in HBM and DMAs each visit's
+    cluster into a double-buffered VMEM scratch (scenes beyond the VMEM
+    residency ceiling; excludes mxu/fuse/unroll/trav_block)."""
     assert unroll in (1, 2, 4, 8), unroll
     assert not (fuse and unroll != 1), (fuse, unroll)
     assert trav_block in (1, 8), trav_block
+    assert not (stream and (mxu or fuse or unroll != 1 or trav_block != 1))
     num_rays = p.x.shape[0]
     tfar0 = jnp.full((num_rays,), FLT_MAX) if tfar0 is None else tfar0
     t_tiles = -(-(-(-num_rays // tile_r)) // 8) * 8
@@ -927,20 +1048,41 @@ def intersect_clustered_pallas(
     col = pl.BlockSpec((trav_block * tile_r, 1), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     table = pl.BlockSpec((c, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    tfar, prim = pl.pallas_call(
-        _make_closest_kernel(cp.kind, k, mxu, unroll, fuse, trav_block),
-        grid=(t_tiles // trav_block,),
-        in_specs=[smem_row(1), smem_row(c), smem_row(c), root_spec]
-        + [col] * 8 + [table] * n_attr,
-        out_specs=[col, col],
-        out_shape=[
-            _out_struct((rp, 1), jnp.float32, ray_in[0]),
-            _out_struct((rp, 1), jnp.int32, ray_in[0]),
-        ],
-        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
-        interpret=interpret,
-        compiler_params=_COMPILER_PARAMS,
-    )(nvis, visit, entry, root, *ray_in, *attrs)
+    if stream:
+        packed = _match_vma((_tables_packed(cp),), ray_in[0])[0]
+        tfar, prim = pl.pallas_call(
+            _stream_kernels(cp.kind, k, shadow=False),
+            grid=(t_tiles,),
+            in_specs=[smem_row(1), smem_row(c), smem_row(c), root_spec]
+            + [col] * 8 + [pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=[col, col],
+            out_shape=[
+                _out_struct((rp, 1), jnp.float32, ray_in[0]),
+                _out_struct((rp, 1), jnp.int32, ray_in[0]),
+            ],
+            scratch_shapes=[
+                pltpu.SMEM((1, 1), jnp.float32),
+                pltpu.VMEM((2 * n_attr, k), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+            compiler_params=_COMPILER_PARAMS,
+        )(nvis, visit, entry, root, *ray_in, packed)
+    else:
+        tfar, prim = pl.pallas_call(
+            _make_closest_kernel(cp.kind, k, mxu, unroll, fuse, trav_block),
+            grid=(t_tiles // trav_block,),
+            in_specs=[smem_row(1), smem_row(c), smem_row(c), root_spec]
+            + [col] * 8 + [table] * n_attr,
+            out_specs=[col, col],
+            out_shape=[
+                _out_struct((rp, 1), jnp.float32, ray_in[0]),
+                _out_struct((rp, 1), jnp.int32, ray_in[0]),
+            ],
+            scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
+            interpret=interpret,
+            compiler_params=_COMPILER_PARAMS,
+        )(nvis, visit, entry, root, *ray_in, *attrs)
     tfar = tfar[:num_rays, 0]
     packed = prim[:num_rays, 0]
     orig = jnp.where(packed >= 0, cp.order[jnp.maximum(packed, 0)], -1)
@@ -950,7 +1092,7 @@ def intersect_clustered_pallas(
 @functools.partial(
     jax.jit,
     static_argnames=("tile_r", "sort", "interpret", "mxu", "plan",
-                     "plan_block", "unroll", "fuse", "trav_block"),
+                     "plan_block", "unroll", "fuse", "trav_block", "stream"),
 )
 def occluded_clustered_pallas(
     cp: ClusteredPrims,
@@ -966,6 +1108,7 @@ def occluded_clustered_pallas(
     unroll: int = 1,
     fuse: bool = False,
     trav_block: int = 1,
+    stream: bool = False,
 ) -> jnp.ndarray:
     """Any-hit: True where some prim lies at t in [0, tfar). Lanes with
     tfar <= 0 plan no visits (the renderer masks invalid shadow rays by
@@ -973,6 +1116,7 @@ def occluded_clustered_pallas(
     assert unroll in (1, 2, 4, 8), unroll
     assert not (fuse and unroll != 1), (fuse, unroll)
     assert trav_block in (1, 8), trav_block
+    assert not (stream and (mxu or fuse or unroll != 1 or trav_block != 1))
     num_rays = p.x.shape[0]
     t_tiles = -(-(-(-num_rays // tile_r)) // 8) * 8
     rp = t_tiles * tile_r
@@ -997,17 +1141,35 @@ def occluded_clustered_pallas(
     col = pl.BlockSpec((trav_block * tile_r, 1), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
     table = pl.BlockSpec((c, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    occ = pl.pallas_call(
-        _make_shadow_kernel(cp.kind, k, mxu, unroll, fuse, trav_block),
-        grid=(t_tiles // trav_block,),
-        in_specs=[smem_row(1), smem_row(c), smem_row(c), root_spec]
-        + [col] * 8 + [table] * n_attr,
-        out_specs=col,
-        out_shape=_out_struct((rp, 1), jnp.int32, ray_in[0]),
-        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
-        interpret=interpret,
-        compiler_params=_COMPILER_PARAMS,
-    )(nvis, visit, entry, root, *ray_in, *attrs)
+    if stream:
+        packed = _match_vma((_tables_packed(cp),), ray_in[0])[0]
+        occ = pl.pallas_call(
+            _stream_kernels(cp.kind, k, shadow=True),
+            grid=(t_tiles,),
+            in_specs=[smem_row(1), smem_row(c), smem_row(c), root_spec]
+            + [col] * 8 + [pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=col,
+            out_shape=_out_struct((rp, 1), jnp.int32, ray_in[0]),
+            scratch_shapes=[
+                pltpu.SMEM((1, 1), jnp.float32),
+                pltpu.VMEM((2 * n_attr, k), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+            compiler_params=_COMPILER_PARAMS,
+        )(nvis, visit, entry, root, *ray_in, packed)
+    else:
+        occ = pl.pallas_call(
+            _make_shadow_kernel(cp.kind, k, mxu, unroll, fuse, trav_block),
+            grid=(t_tiles // trav_block,),
+            in_specs=[smem_row(1), smem_row(c), smem_row(c), root_spec]
+            + [col] * 8 + [table] * n_attr,
+            out_specs=col,
+            out_shape=_out_struct((rp, 1), jnp.int32, ray_in[0]),
+            scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
+            interpret=interpret,
+            compiler_params=_COMPILER_PARAMS,
+        )(nvis, visit, entry, root, *ray_in, *attrs)
     return occ[:num_rays, 0] > 0
 
 

@@ -388,3 +388,56 @@ def test_fuse_trav_block_triangles_and_seed():
     )
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+
+def test_stream_bit_exact_spheres():
+    """HBM-streaming traversal (cluster tables DMA'd per visit into a
+    double-buffered VMEM scratch) must be bit-exact vs the VMEM-resident
+    default: same batteries, same visit order, same early-exit gates —
+    only the residence of the attribute rows changes."""
+    cp, _ = _sphere_setup(P=300)
+    p, d = _rays(777)
+    alive = jnp.asarray(RNG.random(777) > 0.25)
+    t0, i0 = tk.intersect_clustered_pallas(
+        cp, p, d, None, alive, tile_r=64, interpret=True
+    )
+    t1, i1 = tk.intersect_clustered_pallas(
+        cp, p, d, None, alive, tile_r=64, interpret=True, stream=True
+    )
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    tf = jnp.where(alive, jnp.float32(10.0), jnp.float32(0.0))
+    o0 = tk.occluded_clustered_pallas(cp, p, d, tf, tile_r=64, interpret=True)
+    o1 = tk.occluded_clustered_pallas(
+        cp, p, d, tf, tile_r=64, interpret=True, stream=True
+    )
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+
+def test_stream_triangles_and_seed():
+    """Triangle batteries + tfar0 seeding through the streaming path."""
+    P = 240
+    v0 = RNG.uniform(-4, 4, (P, 3)).astype(np.float32)
+    e1 = RNG.normal(0, 0.5, (P, 3)).astype(np.float32)
+    e2 = RNG.normal(0, 0.5, (P, 3)).astype(np.float32)
+    rows = np.concatenate([v0, e1, e2], axis=1)
+    mins = np.minimum(v0, np.minimum(v0 + e1, v0 + e2))
+    maxs = np.maximum(v0, np.maximum(v0 + e1, v0 + e2))
+    cp = clustered.build_clusters(mins, maxs, rows, num_clusters=4,
+                                  kind="triangle")
+    p, d = _rays(333)
+    seed = jnp.full((333,), 6.0)
+    t0, i0 = tk.intersect_clustered_pallas(
+        cp, p, d, tfar0=seed, tile_r=64, interpret=True
+    )
+    t1, i1 = tk.intersect_clustered_pallas(
+        cp, p, d, tfar0=seed, tile_r=64, interpret=True, stream=True
+    )
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    tf = jnp.full((333,), 6.0)
+    o0 = tk.occluded_clustered_pallas(cp, p, d, tf, tile_r=64, interpret=True)
+    o1 = tk.occluded_clustered_pallas(
+        cp, p, d, tf, tile_r=64, interpret=True, stream=True
+    )
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
