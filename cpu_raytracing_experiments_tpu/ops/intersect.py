@@ -35,12 +35,24 @@ PALLAS_MIN_PRIMS = 192  # below this, the dense [R x P] brute battery beats
 # mesh scenes' 2-sphere geometry was paying that twice per bounce
 
 
+PALLAS_STREAM_BYTES = 48 << 20  # tables above this stay in HBM and stream
+# per-visit (pallas_stream='auto'); below it residency is cheaper and the
+# remaining VMEM comfortably holds ray columns + double buffers
+
+
 def _tile_for(kw: dict, cp) -> dict:
-    """Resolve tile_r='auto' per cluster pack: small packs (few clusters)
-    amortize fixed per-tile planning cost better at 128 rays/tile; large
-    packs want the wider 256-ray tile (measured, benchmarks/mesh_ab.py)."""
+    """Resolve tile_r='auto' and stream='auto' per cluster pack: small packs
+    (few clusters) amortize fixed per-tile planning cost better at 128
+    rays/tile; large packs want the wider 256-ray tile (measured,
+    benchmarks/mesh_ab.py). Packs whose attribute tables exceed the VMEM
+    streaming threshold traverse via the HBM-streaming kernel, which has its
+    own visit schedule (mxu/fuse/unroll/trav_block drop per-pack)."""
     if kw.get("tile_r") == "auto":
-        return dict(kw, tile_r=128 if cp.num_clusters < 512 else 256)
+        kw = dict(kw, tile_r=128 if cp.num_clusters < 512 else 256)
+    if kw.get("stream") == "auto":
+        kw = dict(kw, stream=_tk.table_bytes(cp) > PALLAS_STREAM_BYTES)
+    if kw.get("stream"):
+        kw = dict(kw, mxu=False, fuse=False, unroll=1, trav_block=1)
     return kw
 
 
@@ -49,7 +61,8 @@ def _pallas_kw(policy) -> dict:
     if policy is None:
         return {"tile_r": _tk.DEFAULT_TILE_R, "sort": True, "compact": False,
                 "interpret": False, "mxu": False, "plan": "ray",
-                "plan_block": 8, "unroll": 1, "fuse": False, "trav_block": 1}
+                "plan_block": 8, "unroll": 1, "fuse": False, "trav_block": 1,
+                "stream": "auto"}
     return {
         "tile_r": policy.pallas_tile_rays,
         "sort": policy.pallas_sort_visits,
@@ -61,6 +74,7 @@ def _pallas_kw(policy) -> dict:
         "unroll": policy.pallas_unroll,
         "fuse": policy.pallas_fuse,
         "trav_block": policy.pallas_trav_block,
+        "stream": policy.pallas_stream,
     }
 
 

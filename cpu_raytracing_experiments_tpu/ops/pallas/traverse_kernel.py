@@ -1247,14 +1247,14 @@ def _gather_vec3_padded(v: Vec3, idx, r, padval) -> Vec3:
 @functools.partial(
     jax.jit,
     static_argnames=("tile_r", "sort", "interpret", "seg_len", "mxu", "plan",
-                     "plan_block", "unroll", "fuse", "trav_block"),
+                     "plan_block", "unroll", "fuse", "trav_block", "stream"),
 )
 def intersect_clustered_pallas_compact(
     cp, p, d, alive, tfar0=None, tile_r: int = DEFAULT_TILE_R,
     sort: bool = True, interpret: bool = False,
     seg_len: int = DEFAULT_SEG_LEN, mxu: bool = False, plan: str = "ray",
     plan_block: int = 8, unroll: int = 1, fuse: bool = False,
-    trav_block: int = 1,
+    trav_block: int = 1, stream: bool = False,
 ):
     r = alive.shape[0]
     order, inv, rp = coherence_order(alive, d, seg_len)
@@ -1266,7 +1266,7 @@ def intersect_clustered_pallas_compact(
         alive=_pad1(alive, rp - r, False)[order],
         tile_r=tile_r, sort=sort, interpret=interpret, mxu=mxu, plan=plan,
         plan_block=plan_block, unroll=unroll, fuse=fuse,
-        trav_block=trav_block,
+        trav_block=trav_block, stream=stream,
     )
     return tfar[inv[:r]], prim[inv[:r]]
 
@@ -1274,13 +1274,14 @@ def intersect_clustered_pallas_compact(
 @functools.partial(
     jax.jit,
     static_argnames=("tile_r", "sort", "interpret", "seg_len", "mxu", "plan",
-                     "plan_block", "unroll", "fuse", "trav_block"),
+                     "plan_block", "unroll", "fuse", "trav_block", "stream"),
 )
 def occluded_clustered_pallas_compact(
     cp, p, d, tfar, tile_r: int = DEFAULT_TILE_R, sort: bool = True,
     interpret: bool = False, seg_len: int = DEFAULT_SEG_LEN,
     mxu: bool = False, plan: str = "ray", plan_block: int = 8,
     unroll: int = 1, fuse: bool = False, trav_block: int = 1,
+    stream: bool = False,
 ):
     r = tfar.shape[0]
     order, inv, rp = coherence_order(tfar > 0.0, d, seg_len)
@@ -1291,6 +1292,13 @@ def occluded_clustered_pallas_compact(
         _pad1(tfar, rp - r, 0.0)[order],
         tile_r=tile_r, sort=sort, interpret=interpret, mxu=mxu, plan=plan,
         plan_block=plan_block, unroll=unroll, fuse=fuse,
-        trav_block=trav_block,
+        trav_block=trav_block, stream=stream,
     )
     return occ[inv[:r]]
+
+
+def table_bytes(cp: ClusteredPrims) -> int:
+    """VMEM footprint of a pack's attribute tables if kept resident
+    ([C, K] f32 per attribute plane) — the quantity the accel dispatcher
+    compares against the streaming threshold."""
+    return cp.num_clusters * cp.cluster_size * _N_ATTRS[cp.kind] * 4

@@ -84,6 +84,14 @@ class RendererPolicy:
     # (1|8): 8 = one whole SMEM visit-list block per program, amortizing
     # per-program fixed cost (a zero-work traversal measures ~5 us/tile);
     # bit-exact knob
+    pallas_stream: object = "auto"  # True | False | 'auto': keep cluster
+    # attribute tables in HBM and DMA each visit's rows into a
+    # double-buffered VMEM scratch (prefetching one cluster ahead) instead
+    # of holding [C, K] planes VMEM-resident. Lifts the scene-size ceiling
+    # (~1.3M tris at 48 B/tri against the 64 MB VMEM grant) to HBM scale.
+    # 'auto' = stream only packs whose tables exceed PALLAS_STREAM_BYTES
+    # (ops/intersect.py); bit-exact knob (tests/test_pallas_traverse.py).
+    # Excludes mxu/fuse/unroll/trav_block (auto drops them per-pack).
     ray_order: str = "auto"  # 'auto' | 'tile' | 'raster': process rays in 16x16
     # pixel-tile order (the reference's tile decomposition, Renderer.hpp:75)
     # so each Pallas traversal tile sees a compact screen footprint — bounce
@@ -182,6 +190,14 @@ class RendererPolicy:
             "pallas_fuse replaces the unroll schedule (paired visits)"
         )
         assert self.pallas_trav_block in (1, 8), self.pallas_trav_block
+        assert self.pallas_stream in (True, False, "auto"), self.pallas_stream
+        if self.pallas_stream is True:
+            assert not (self.pallas_mxu or self.pallas_fuse
+                        or self.pallas_unroll != 1
+                        or self.pallas_trav_block != 1), (
+                "pallas_stream=True excludes mxu/fuse/unroll/trav_block "
+                "(the streaming kernel has its own visit schedule)"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

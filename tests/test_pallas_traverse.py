@@ -441,3 +441,29 @@ def test_stream_triangles_and_seed():
         cp, p, d, tf, tile_r=64, interpret=True, stream=True
     )
     np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+
+def test_renderer_accel_pallas_stream_matches_brute():
+    """Full renderer with accel='pallas' + pallas_stream=True (interpret)
+    is bit-identical to brute: the production dispatch resolves the
+    streaming kernel per pack and drops the incompatible schedule knobs."""
+    from cpu_raytracing_experiments_tpu.render.api import Renderer
+    from cpu_raytracing_experiments_tpu.scene import accel as accel_mod
+    from cpu_raytracing_experiments_tpu.scene import builders
+    from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+
+    w = h = 24
+    scene = builders.cornell_box_scene(w, h)  # spheres + triangles
+    base = RendererPolicy(max_bounces=4, rays_per_chunk=w * h)
+    rb = Renderer(scene, base, w, h)
+    rb.accumulate(2)
+    sc = accel_mod.with_pallas_clusters(scene, cluster_size=32)
+    pol = dataclasses.replace(
+        base, accel="pallas", pallas_tile_rays=64, pallas_interpret=True,
+        pallas_stream=True,
+    )
+    rp = Renderer(sc, pol, w, h)
+    rp.accumulate(2)
+    np.testing.assert_array_equal(
+        np.asarray(rp.state.buckets), np.asarray(rb.state.buckets)
+    )
