@@ -13,5 +13,7 @@ run python benchmarks/mesh_ab.py --mesh 20k --grid sah:128 --passes 4 --fuse --t
 run python benchmarks/mesh_ab.py --mesh 20k --grid sah:128 --passes 4 --unroll 4
 run python benchmarks/mesh_ab.py --mesh 100k --grid sah:256 --passes 4
 run python benchmarks/mesh_ab.py --mesh 100k --grid sah:256 --passes 4 --fuse --trav-block 8
+run python benchmarks/bench_traverse_kernel.py --prims 1000
+run python benchmarks/config2_hybrid.py
 run python bench.py
 echo "=== queue done $(date +%H:%M:%S)"

@@ -745,12 +745,27 @@ def trace_rays(
 
         init = jax.tree.map(_pvary, init)
 
+    # Primary-bounce accel override (policy.primary_accel): camera rays are
+    # screen-tile coherent, so tile-culled traversal can win at bounce 0
+    # even in scenes whose incoherent bounces favor the dense battery.
+    # Peeling one bounce_step out of the while_loop is bit-exact — every
+    # accel backend returns identical hits and the RNG schedule is keyed by
+    # state.bounce, not loop position.
+    pol0 = policy
+    if (policy.primary_accel
+            and policy.primary_accel != policy.effective_accel):
+        import dataclasses as _dc
+        pol0 = _dc.replace(policy, accel=policy.primary_accel,
+                           use_bvh=False)
+
     res_out = None
     if res_in is not None and policy.light_sampling == "restir":
         # peel the primary bounce: reservoir merge/reuse happens here only
         init, res_out = bounce_step(
-            scene, policy, accumulation, seeds, init, restir_in=res_in
+            scene, pol0, accumulation, seeds, init, restir_in=res_in
         )
+    elif pol0 is not policy:
+        init = bounce_step(scene, pol0, accumulation, seeds, init)
 
     def cond(state: PathState):
         return (state.bounce < policy.max_bounces) & jnp.any(state.alive)
@@ -1056,7 +1071,11 @@ def render_pass(
     ray = jnp.arange(nrays, dtype=jnp.uint32)
     ray_order = policy.ray_order
     if ray_order == "auto":
-        ray_order = "tile" if policy.effective_accel == "pallas" else "raster"
+        ray_order = (
+            "tile"
+            if "pallas" in (policy.effective_accel, policy.primary_accel)
+            else "raster"
+        )
     if ray_order == "tile":
         # pixel-block edge matched to the traversal-kernel tile: one kernel
         # tile of pallas_tile_rays rays covers one square screen block

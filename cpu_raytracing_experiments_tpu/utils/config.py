@@ -92,6 +92,14 @@ class RendererPolicy:
     # 'auto' = stream only packs whose tables exceed PALLAS_STREAM_BYTES
     # (ops/intersect.py); bit-exact knob (tests/test_pallas_traverse.py).
     # Excludes mxu/fuse/unroll/trav_block (auto drops them per-pack).
+    primary_accel: Optional[str] = None  # accel override for bounce 0 only
+    # (the coherent primary intersection + its NEE shadow trace): e.g.
+    # accel='brute', primary_accel='pallas' runs the tile-culled clustered
+    # traversal on camera rays — where screen-tile frustums cull well even
+    # in scenes whose incoherent bounces favor the dense battery (the
+    # sphere-field regime, ARCHITECTURE.md crossover table) — and the brute
+    # battery on bounces >= 1. None = same as accel. Bit-exact: every accel
+    # backend returns identical hits (tests/test_pallas_traverse.py).
     ray_order: str = "auto"  # 'auto' | 'tile' | 'raster': process rays in 16x16
     # pixel-tile order (the reference's tile decomposition, Renderer.hpp:75)
     # so each Pallas traversal tile sees a compact screen footprint — bounce
@@ -191,6 +199,9 @@ class RendererPolicy:
         )
         assert self.pallas_trav_block in (1, 8), self.pallas_trav_block
         assert self.pallas_stream in (True, False, "auto"), self.pallas_stream
+        assert self.primary_accel in (
+            None, "brute", "bvh", "grid", "clustered", "pallas"
+        ), self.primary_accel
         if self.pallas_stream is True:
             assert not (self.pallas_mxu or self.pallas_fuse
                         or self.pallas_unroll != 1

@@ -467,3 +467,30 @@ def test_renderer_accel_pallas_stream_matches_brute():
     np.testing.assert_array_equal(
         np.asarray(rp.state.buckets), np.asarray(rb.state.buckets)
     )
+
+
+def test_primary_accel_override_bit_exact():
+    """policy.primary_accel peels bounce 0 out of the while_loop and runs it
+    with a different accel backend; since every backend returns identical
+    hits and RNG is keyed by state.bounce, the render must be bit-identical
+    to the unpeeled single-accel run."""
+    from cpu_raytracing_experiments_tpu.render.api import Renderer
+    from cpu_raytracing_experiments_tpu.scene import accel as accel_mod
+    from cpu_raytracing_experiments_tpu.scene import builders
+    from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+
+    w = h = 24
+    scene = builders.cornell_box_scene(w, h)
+    base = RendererPolicy(max_bounces=4, rays_per_chunk=w * h)
+    rb = Renderer(scene, base, w, h)
+    rb.accumulate(2)
+    sc = accel_mod.with_pallas_clusters(scene, cluster_size=32)
+    pol = dataclasses.replace(
+        base, accel="brute", primary_accel="pallas", pallas_tile_rays=64,
+        pallas_interpret=True,
+    )
+    rp = Renderer(sc, pol, w, h)
+    rp.accumulate(2)
+    np.testing.assert_array_equal(
+        np.asarray(rp.state.buckets), np.asarray(rb.state.buckets)
+    )
