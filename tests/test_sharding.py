@@ -304,3 +304,34 @@ def test_sharded_variance_map_and_denoise():
     np.testing.assert_array_equal(sr.variance_map(), single.variance_map())
     img = denoise.denoise_render(sr, variance_guided=True, sigma_l=25.0)
     assert img.shape == (h, w, 3) and np.isfinite(img).all()
+
+
+def test_sharded_pallas_stream_matches_single():
+    """Multi-chip + accel='pallas' + pallas_stream=True: the HBM-streaming
+    kernel's packed table operand (memory_space=ANY) must ride shard_map
+    like the resident tables do (_match_vma pcast to varying); 8-device dp
+    mesh matches single-device bit-exactly. check_vma=False for the same
+    interpret-mode limitation as test_sharded_pallas_accel_matches_single."""
+    import numpy as np
+
+    from cpu_raytracing_experiments_tpu.parallel import sharded
+    from cpu_raytracing_experiments_tpu.render.api import Renderer
+    from cpu_raytracing_experiments_tpu.scene import accel as accel_mod
+    from cpu_raytracing_experiments_tpu.scene import builders
+    from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+
+    w = h = 32
+    scene = accel_mod.with_pallas_clusters(
+        builders.cornell_box_scene(w, h), cluster_size=32
+    )
+    pol = RendererPolicy(max_bounces=3, accel="pallas", pallas_interpret=True,
+                         pallas_tile_rays=64, rays_per_chunk=1024,
+                         pallas_stream=True)
+    single = Renderer(scene, pol, w, h)
+    single.accumulate(3)
+    mesh = sharded.make_mesh(dp=8, sp=1)
+    sr = sharded.ShardedRenderer(scene, pol, w, h, mesh, check_vma=False)
+    sr.accumulate(3)
+    a = np.asarray(single.render(tonemap=False))
+    b = np.asarray(sr.render(tonemap=False))
+    np.testing.assert_array_equal(a, b)
