@@ -72,17 +72,83 @@ def main():
     # Mosaic-COMPILED too (interpret mode accepts lowerings hardware
     # rejects — and a miscompiled variant could silently render wrong)
     for name, (scene, p, size, base_img) in hw_imgs.items():
-        pv = dataclasses.replace(p, pallas_fuse=True, pallas_trav_block=8)
-        r = Renderer(scene, pv, size, size)
-        r.accumulate(SPP)
-        img = np.asarray(r.render(tonemap=False))
-        ok = bool(np.array_equal(img, base_img))
-        failures += not ok
-        print(json.dumps({
-            "scene": name, "accel": "pallas(fuse,tb8)",
-            "bit_exact_vs_default": ok, "ok": ok,
-        }), flush=True)
+        for knobs, tag in (
+            (dict(pallas_fuse=True, pallas_trav_block=8), "fuse,tb8"),
+            (dict(pallas_stream=True), "stream"),
+        ):
+            pv = dataclasses.replace(p, **knobs)
+            r = Renderer(scene, pv, size, size)
+            r.accumulate(SPP)
+            img = np.asarray(r.render(tonemap=False))
+            ok = bool(np.array_equal(img, base_img))
+            failures += not ok
+            print(json.dumps({
+                "scene": name, "accel": f"pallas({tag})",
+                "bit_exact_vs_default": ok, "ok": ok,
+            }), flush=True)
+    failures += _early_exit_gate()
     sys.exit(1 if failures else 0)
+
+
+def _early_exit_gate(interpret: bool = False):
+    """Adversarial check of the traversal early-exit on COMPILED Mosaic.
+    Interpret mode never fires the exit (the interpreter's while_loop cond
+    reads a stale mx — SMEM writes in the body don't reach cond), so only
+    hardware exercises it. The scene forces the spike-then-dip visit-entry
+    pattern that the sort=False suffix-min entries exist for: 10 blocker
+    clusters (hits shrink mx at the 8-visit refresh), then a far spike,
+    then a near dip holding the true closest hit."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from cpu_raytracing_experiments_tpu.core.vec import Vec3
+    from cpu_raytracing_experiments_tpu.ops import clustered, intersect
+    from cpu_raytracing_experiments_tpu.ops.pallas import traverse_kernel as tk
+
+    K = 8
+    def blob(z):
+        c = np.tile(np.array([[0.0, 0.0, z]], np.float32), (K, 1))
+        c[:, 1] += np.linspace(-0.2, 0.2, K)
+        return c
+
+    zs = [3.0 + 0.01 * i for i in range(10)] + [5.0, 1.2]
+    centers = np.concatenate([blob(z) for z in zs], 0)
+    radii = np.full(12 * K, 0.3, np.float32)
+    rows = np.concatenate([centers, (radii ** 2)[:, None]], 1)
+    cp = clustered.build_clusters(
+        centers - radii[:, None], centers + radii[:, None], rows,
+        num_clusters=12, kind="sphere",
+    )
+    perm = np.arange(12 * K, dtype=np.int32)  # force blob-major visit order
+    lo = (centers - radii[:, None]).reshape(12, K, 3).min(1)
+    hi = (centers + radii[:, None]).reshape(12, K, 3).max(1)
+    cp = dc.replace(
+        cp, rows=jnp.asarray(rows), order=jnp.asarray(perm),
+        lo=Vec3(*[jnp.asarray(lo[:, i]) for i in range(3)]),
+        hi=Vec3(*[jnp.asarray(hi[:, i]) for i in range(3)]),
+    )
+    R = 64
+    p0 = np.tile(np.array([[0.0, 0.0, 0.0]], np.float32), (R, 1))
+    p0[:, 1] = np.linspace(-0.2, 0.2, R)
+    d0 = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (R, 1))
+    p = Vec3(*[jnp.asarray(p0[:, i]) for i in range(3)])
+    d = Vec3(*[jnp.asarray(d0[:, i]) for i in range(3)])
+    geom = (
+        Vec3(*[jnp.asarray(centers[:, i]) for i in range(3)]),
+        jnp.asarray(radii ** 2),
+    )
+    _, id_ref = intersect.intersect_spheres(p, d, *geom)
+    fails = 0
+    for sort in (True, False):
+        _, i1 = tk.intersect_clustered_pallas(cp, p, d, tile_r=64, sort=sort,
+                                              interpret=interpret)
+        ok = bool(np.array_equal(np.asarray(i1), np.asarray(id_ref)))
+        fails += not ok
+        print(json.dumps({
+            "scene": "early_exit_spike_dip", "sort": sort, "ok": ok,
+        }), flush=True)
+    return fails
 
 
 if __name__ == "__main__":

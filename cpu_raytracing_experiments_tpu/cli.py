@@ -120,7 +120,7 @@ def _add_common(p: argparse.ArgumentParser):
     p.add_argument("--bounces", type=int, default=8)
     p.add_argument("--preset", choices=["reference_compat", "reference_fixed",
                                         "preview", "production", "ground_truth",
-                                        "large_scene"],
+                                        "large_scene", "throughput"],
                    help="named render model (models/presets.py); explicit "
                         "--bounces/--chunk still override")
     p.add_argument("--chunk", type=int, default=1 << 19, help="rays per microbatch")

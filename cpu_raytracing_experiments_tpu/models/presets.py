@@ -65,6 +65,19 @@ LARGE_SCENE = RendererPolicy(
     rays_per_chunk=1 << 16,
 )
 
+# Throughput-first mesh rendering: clustered Pallas traversal with spp=2
+# passes (two samples of one pixel in adjacent kernel-tile lanes halve the
+# per-tile screen footprint -> fewer cluster visits; +9% samples/s measured
+# on the 20k mesh, benchmarks/RESULTS.md). Each accumulation bucket entry
+# is a 2-sample mean, so median-of-means sees B means of 2 — slightly
+# softer firefly rejection than spp=1 at equal samples; use for wall-clock-
+# bound renders. Scenes need scene.accel.with_pallas_clusters.
+THROUGHPUT = RendererPolicy(
+    accel="pallas",
+    samples_per_pixel=2,
+    stratify_camera=True,
+)
+
 PRESETS = {
     "reference_compat": REFERENCE_COMPAT,
     "reference_fixed": REFERENCE_FIXED,
@@ -72,6 +85,7 @@ PRESETS = {
     "production": PRODUCTION,
     "ground_truth": GROUND_TRUTH,
     "large_scene": LARGE_SCENE,
+    "throughput": THROUGHPUT,
 }
 
 

@@ -507,6 +507,19 @@ def _plan_visits(cp: ClusteredPrims, ray_in, t_tiles: int, tile_r: int,
         key = (entry_t >= FLT_MAX).astype(jnp.int32)
         order = jnp.argsort(key, axis=1, stable=True).astype(jnp.int32)
         entry_sorted = jnp.take_along_axis(entry_t, order, axis=1)
+        # The kernels' early-exit test `entry[j] < mx` assumes entries are
+        # front-to-back sorted (all later entries at least as far). Morton
+        # order is NOT: a far "spike" cluster mid-list would terminate the
+        # loop and skip a later nearer cluster that still holds a valid hit
+        # (constructible: blockers shrink mx at the 8-visit refresh, then
+        # spike >= mx precedes dip < mx). Passing the SUFFIX MINIMUM makes
+        # the test mean "no remaining cluster can beat any lane's bound" —
+        # provably safe for any visit order; for sorted entries it is the
+        # identity, so sort=True is untouched. NOTE: interpret mode never
+        # exercises this path — the interpreter's while_loop cond reads a
+        # stale mx (SMEM writes in the body don't reach cond), so the exit
+        # only fires in compiled Mosaic; benchmarks/tpu_goldens.py gates it.
+        entry_sorted = jax.lax.cummin(entry_sorted, axis=1, reverse=True)
     return order, entry_sorted, nvis
 
 

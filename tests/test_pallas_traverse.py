@@ -494,3 +494,37 @@ def test_primary_accel_override_bit_exact():
     np.testing.assert_array_equal(
         np.asarray(rp.state.buckets), np.asarray(rb.state.buckets)
     )
+
+
+def test_unsorted_plan_entries_are_suffix_minima():
+    """The traversal kernels' early-exit test `entry[j] < mx` is only safe
+    when all later entries are at least as large. sort=False (morton visit
+    order) violates that raw, so _plan_visits passes the SUFFIX MINIMUM of
+    the entries — equivalently, the exit array must be non-decreasing along
+    the visit axis. (Interpret mode never fires the exit — the interpreter's
+    while_loop cond reads a stale mx — so this invariant plus the hardware
+    gate in benchmarks/tpu_goldens.py::_early_exit_gate carry the
+    correctness argument.)"""
+    cp, _ = _sphere_setup(P=400, K=32)
+    p, d = _rays(512)
+    rp = 512
+    ray_in = tk._ray_cols(
+        [(p.x, 1e30), (p.y, 1e30), (p.z, 1e30), (d.x, 1.0), (d.y, 1.0),
+         (d.z, 1.0), (jnp.full((512,), tk.FLT_MAX), 0.0),
+         (jnp.ones((512,)), 0.0)], rp,
+    )
+    for sort in (True, False):
+        _, entry, nvis = tk._plan_visits(cp, ray_in, 8, 64, sort, True)
+        e = np.asarray(entry)
+        assert (np.diff(e, axis=1) >= 0).all(), f"sort={sort}"
+
+
+def test_early_exit_spike_dip_scene_interpret():
+    """The forced spike-then-dip visit-order scene (the sort=False early-
+    exit counterexample) must resolve to the brute result. Interpret mode
+    can't fire the exit, so this is a smoke of scene construction + the
+    suffix-min plumbing; the compiled-path check lives in
+    benchmarks/tpu_goldens.py::_early_exit_gate."""
+    import benchmarks.tpu_goldens as tg
+
+    assert tg._early_exit_gate(interpret=True) == 0
