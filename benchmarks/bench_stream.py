@@ -106,10 +106,12 @@ def main():
     for P in (20000, 100000):
         run_size(P, 262144, 256, rng)
     if args.big:
-        # 2M tris: 12 attr planes * 4 B = 96 MB of tables — past the VMEM
+        # 2M tris: 12 attr planes * 4 B = 92 MB of tables — past the VMEM
         # grant. The resident path should fail to fit; stream must run.
-        run_size(2_000_000, 65536, 256, rng, streams=(True,))
-        run_size(2_000_000, 65536, 256, rng, streams=(False,))
+        # K=1024 keeps the visit-list SMEM rows small (C=1954: ~61 KB per
+        # 8-tile block; K=256's C=7813 would want ~500 KB of SMEM).
+        run_size(2_000_000, 65536, 1024, rng, streams=(True,))
+        run_size(2_000_000, 65536, 1024, rng, streams=(False,))
 
 
 if __name__ == "__main__":
