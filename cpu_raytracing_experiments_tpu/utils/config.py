@@ -100,6 +100,10 @@ class RendererPolicy:
     # sphere-field regime, ARCHITECTURE.md crossover table) — and the brute
     # battery on bounces >= 1. None = same as accel. Bit-exact: every accel
     # backend returns identical hits (tests/test_pallas_traverse.py).
+    # Note ray_order='auto' resolves to 'tile' when either accel is pallas;
+    # renders are order-invariant EXCEPT ReSTIR's lane-offset spatial
+    # neighborhoods (equal in distribution; pin ray_order='raster' for
+    # bitwise comparison against a raster-order run).
     ray_order: str = "auto"  # 'auto' | 'tile' | 'raster': process rays in 16x16
     # pixel-tile order (the reference's tile decomposition, Renderer.hpp:75)
     # so each Pallas traversal tile sees a compact screen footprint — bounce

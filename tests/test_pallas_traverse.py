@@ -528,3 +528,45 @@ def test_early_exit_spike_dip_scene_interpret():
     import benchmarks.tpu_goldens as tg
 
     assert tg._early_exit_gate(interpret=True) == 0
+
+
+def test_primary_accel_compositions():
+    """primary_accel composes bit-exactly with ReSTIR (same-peel site) and
+    adaptive allocation. ReSTIR needs ray_order pinned to 'raster': the
+    auto rule flips to 'tile' for pallas, which reshuffles ReSTIR's
+    lane-offset spatial neighborhoods (equal in distribution, not bitwise —
+    see RendererPolicy.primary_accel docstring)."""
+    from cpu_raytracing_experiments_tpu.render.api import Renderer
+    from cpu_raytracing_experiments_tpu.scene import accel as accel_mod
+    from cpu_raytracing_experiments_tpu.scene import builders
+    from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+
+    w = h = 24
+    scene = builders.cornell_box_scene(w, h)
+    sc = accel_mod.with_pallas_clusters(scene, cluster_size=32)
+    base = RendererPolicy(max_bounces=3, rays_per_chunk=w * h,
+                          light_sampling="restir")
+    rb = Renderer(scene, base, w, h)
+    rb.accumulate(3)
+    pol = dataclasses.replace(
+        base, primary_accel="pallas", pallas_tile_rays=64,
+        pallas_interpret=True, ray_order="raster",
+    )
+    rp = Renderer(sc, pol, w, h)
+    rp.accumulate(3)
+    np.testing.assert_array_equal(
+        np.asarray(rp.state.buckets), np.asarray(rb.state.buckets)
+    )
+
+    b2 = dataclasses.replace(base, light_sampling="uniform")
+    r2 = Renderer(scene, b2, w, h)
+    r2.render_adaptive(0.0, max_spp=6, warmup=5)
+    p2 = dataclasses.replace(
+        b2, primary_accel="pallas", pallas_tile_rays=64,
+        pallas_interpret=True,
+    )
+    r3 = Renderer(sc, p2, w, h)
+    r3.render_adaptive(0.0, max_spp=6, warmup=5)
+    np.testing.assert_array_equal(
+        np.asarray(r3.state.buckets), np.asarray(r2.state.buckets)
+    )
