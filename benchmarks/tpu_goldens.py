@@ -148,6 +148,58 @@ def _early_exit_gate(interpret: bool = False):
         print(json.dumps({
             "scene": "early_exit_spike_dip", "sort": sort, "ok": ok,
         }), flush=True)
+
+    # Shadow variant: the any-hit exit bound shrinks as LANES drop out
+    # (occluded lanes leave the live max). Upper-half lanes are occluded by
+    # 10 blocker clusters; the spike is upper-only so its entry (3.8)
+    # exceeds every still-live lower lane's tfar bound (3.0) after the
+    # 8-visit refresh — a raw sort=False order would exit there and miss
+    # the lower-only dip occluder at t~1.
+    def half_blob(z, y0, y1):
+        c = np.tile(np.array([[0.0, 0.0, z]], np.float32), (K, 1))
+        c[:, 1] += np.linspace(y0, y1, K)
+        return c
+
+    centers2 = np.concatenate(
+        [half_blob(3.0 + 0.01 * i, 0.05, 0.2) for i in range(10)]
+        + [half_blob(3.8, 0.05, 0.2), half_blob(1.0, -0.2, -0.05)], 0
+    )
+    radii2 = np.full(12 * K, 0.04, np.float32)
+    rows2 = np.concatenate([centers2, (radii2 ** 2)[:, None]], 1)
+    cp2 = clustered.build_clusters(
+        centers2 - radii2[:, None], centers2 + radii2[:, None], rows2,
+        num_clusters=12, kind="sphere",
+    )
+    lo2 = (centers2 - radii2[:, None]).reshape(12, K, 3).min(1)
+    hi2 = (centers2 + radii2[:, None]).reshape(12, K, 3).max(1)
+    cp2 = dc.replace(
+        cp2, rows=jnp.asarray(rows2), order=jnp.asarray(perm),
+        lo=Vec3(*[jnp.asarray(lo2[:, i]) for i in range(3)]),
+        hi=Vec3(*[jnp.asarray(hi2[:, i]) for i in range(3)]),
+    )
+    geom2 = (
+        Vec3(*[jnp.asarray(centers2[:, i]) for i in range(3)]),
+        jnp.asarray(radii2 ** 2),
+    )
+    # rays aimed exactly at the per-half prim y's so hits are robust
+    ys = np.concatenate([np.linspace(0.05, 0.2, K),      # upper lanes
+                         np.linspace(-0.2, -0.05, K)])   # lower lanes
+    R2 = 2 * K
+    p2 = np.tile(np.array([[0.0, 0.0, 0.0]], np.float32), (R2, 1))
+    p2[:, 1] = ys
+    d2 = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (R2, 1))
+    pv = Vec3(*[jnp.asarray(p2[:, i]) for i in range(3)])
+    dv = Vec3(*[jnp.asarray(d2[:, i]) for i in range(3)])
+    tf = jnp.asarray(np.where(ys > 0, 6.0, 3.0).astype(np.float32))
+    occ_ref = intersect.occluded_spheres(pv, dv, tf, *geom2)
+    for sort in (True, False):
+        o1 = tk.occluded_clustered_pallas(cp2, pv, dv, tf, tile_r=64,
+                                          sort=sort, interpret=interpret)
+        ok = bool(np.array_equal(np.asarray(o1), np.asarray(occ_ref)))
+        fails += not ok
+        print(json.dumps({
+            "scene": "early_exit_shadow_spike_dip", "sort": sort, "ok": ok,
+        }), flush=True)
     return fails
 
 
