@@ -13,6 +13,9 @@ run python benchmarks/mesh_ab.py --mesh 20k --grid sah:128 --passes 4 --fuse --t
 run python benchmarks/mesh_ab.py --mesh 20k --grid sah:128 --passes 4 --unroll 4
 run python benchmarks/mesh_ab.py --mesh 100k --grid sah:256 --passes 4
 run python benchmarks/mesh_ab.py --mesh 100k --grid sah:256 --passes 4 --fuse --trav-block 8
+# if fuse/tb8 cut per-visit fixed cost, finer clusters may win the K-sweep
+run python benchmarks/mesh_ab.py --mesh 100k --grid sah^256:256 --passes 4 --fuse --trav-block 8
+run python benchmarks/mesh_ab.py --mesh 20k --grid sah^128:128 --passes 4 --fuse --trav-block 8
 run python benchmarks/bench_traverse_kernel.py --prims 1000
 run python benchmarks/config2_hybrid.py
 run python bench.py
