@@ -117,11 +117,101 @@ def write_npy(path, rgb: np.ndarray):
     np.save(path, np.asarray(rgb, np.float32))
 
 
+# --------------------------------------------------------------------------
+# Minimal OpenEXR 2.0 (single-part, scanline, NO_COMPRESSION, FLOAT R/G/B).
+# The reference exports .hdr only (Image.cpp:71-74); EXR is the net-new
+# industry interchange format. Pure numpy — no codec dependency; validated
+# against OpenCV's EXR reader in tests/test_image_io.py when cv2 is present.
+# --------------------------------------------------------------------------
+_EXR_MAGIC = 20000630
+
+
+def _exr_attr(name: bytes, typ: bytes, data: bytes) -> bytes:
+    return name + b"\0" + typ + b"\0" + np.int32(len(data)).tobytes() + data
+
+
+def write_exr(path, rgb: np.ndarray):
+    """Write [H, W, 3] float32 linear RGB as an uncompressed scanline EXR."""
+    img = np.asarray(rgb, np.float32)
+    h, w = img.shape[:2]
+    # channel list: alphabetically sorted names, each {name, pixel_type=2
+    # (FLOAT), pLinear=0, reserved[3], xSampling=1, ySampling=1}
+    def ch(name: bytes) -> bytes:
+        return (name + b"\0" + np.int32(2).tobytes() + b"\0\0\0\0"
+                + np.int32(1).tobytes() + np.int32(1).tobytes())
+
+    chlist = ch(b"B") + ch(b"G") + ch(b"R") + b"\0"
+    box = np.array([0, 0, w - 1, h - 1], np.int32).tobytes()
+    header = (
+        _exr_attr(b"channels", b"chlist", chlist)
+        + _exr_attr(b"compression", b"compression", b"\0")
+        + _exr_attr(b"dataWindow", b"box2i", box)
+        + _exr_attr(b"displayWindow", b"box2i", box)
+        + _exr_attr(b"lineOrder", b"lineOrder", b"\0")
+        + _exr_attr(b"pixelAspectRatio", b"float", np.float32(1).tobytes())
+        + _exr_attr(b"screenWindowCenter", b"v2f",
+                    np.zeros(2, np.float32).tobytes())
+        + _exr_attr(b"screenWindowWidth", b"float", np.float32(1).tobytes())
+        + b"\0"
+    )
+    preamble = np.array([_EXR_MAGIC, 2], np.int32).tobytes() + header
+    # scanline blocks: y:int32, byte count:int32, then B row | G row | R row
+    row_bytes = 3 * w * 4
+    block = 8 + row_bytes
+    offset0 = len(preamble) + 8 * h
+    offsets = (offset0 + block * np.arange(h, dtype=np.uint64)).tobytes()
+    # rows as [H, 3, W]: channel-major per scanline in B, G, R order
+    rows = np.ascontiguousarray(img[:, :, ::-1].transpose(0, 2, 1))
+    head = np.empty((h, 2), np.int32)
+    head[:, 0] = np.arange(h)
+    head[:, 1] = row_bytes
+    body = np.concatenate(
+        [head.view(np.uint8), rows.reshape(h, -1).view(np.uint8)], axis=1
+    )
+    with open(path, "wb") as f:
+        f.write(preamble)
+        f.write(offsets)
+        f.write(body.tobytes())
+
+
+def read_exr(path) -> np.ndarray:
+    """Read an EXR written by write_exr (uncompressed FLOAT B/G/R only)."""
+    raw = open(path, "rb").read()
+    assert np.frombuffer(raw[:8], np.int32)[0] == _EXR_MAGIC, "not an EXR"
+    pos = 8
+    w = h = None
+    while raw[pos] != 0:  # attributes until the null terminator
+        name_end = raw.index(b"\0", pos)
+        name = raw[pos:name_end]
+        typ_end = raw.index(b"\0", name_end + 1)
+        size = int(np.frombuffer(raw[typ_end + 1 : typ_end + 5], np.int32)[0])
+        data = raw[typ_end + 5 : typ_end + 5 + size]
+        if name == b"dataWindow":
+            x0, y0, x1, y1 = np.frombuffer(data, np.int32)
+            w, h = int(x1 - x0 + 1), int(y1 - y0 + 1)
+        if name == b"compression":
+            assert data == b"\0", "only NO_COMPRESSION supported"
+        pos = typ_end + 5 + size
+    pos += 1  # header terminator
+    pos += 8 * h  # offset table
+    out = np.empty((h, 3, w), np.float32)
+    row_bytes = 3 * w * 4
+    for i in range(h):
+        y = int(np.frombuffer(raw[pos : pos + 4], np.int32)[0])
+        out[y] = np.frombuffer(
+            raw[pos + 8 : pos + 8 + row_bytes], np.float32
+        ).reshape(3, w)
+        pos += 8 + row_bytes
+    return out[:, ::-1, :].transpose(0, 2, 1).copy()  # BGR rows -> [H, W, 3]
+
+
 def store(path, rgb: np.ndarray):
-    """Dispatch on extension (.hdr/.png/.npy) — the Image::Store slot."""
+    """Dispatch on extension (.hdr/.exr/.png/.npy) — the Image::Store slot."""
     path = str(path)
     if path.endswith(".hdr"):
         write_hdr(path, rgb)
+    elif path.endswith(".exr"):
+        write_exr(path, rgb)
     elif path.endswith(".png"):
         write_png(path, rgb)
     elif path.endswith(".npy"):

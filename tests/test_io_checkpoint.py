@@ -302,3 +302,48 @@ def test_checkpoint_preserves_adaptive_counts(tmp_path):
     r2.state = loaded
     np.testing.assert_array_equal(r.render(tonemap=False),
                                   r2.render(tonemap=False))
+
+
+def test_exr_roundtrip_and_structure(tmp_path):
+    """Minimal OpenEXR writer: bit-exact self-roundtrip plus structural
+    checks of the header (magic, version, required scanline attributes,
+    alphabetized FLOAT chlist, absolute offset table). No independent EXR
+    codec exists in this environment (cv2 built without OpenEXR, imageio
+    has no plugin), so cross-tool validation is deferred; the format fields
+    are written per the OpenEXR 2.0 spec."""
+    import numpy as np
+
+    from cpu_raytracing_experiments_tpu.utils import image as im
+
+    rng = np.random.default_rng(3)
+    img = (rng.uniform(0, 8, (21, 37, 3)) ** 2).astype(np.float32)
+    p = tmp_path / "t.exr"
+    im.store(p, img)
+    back = im.read_exr(p)
+    np.testing.assert_array_equal(back, img)
+    raw = p.read_bytes()
+    assert np.frombuffer(raw[:4], np.int32)[0] == 20000630  # magic
+    assert np.frombuffer(raw[4:8], np.int32)[0] == 2  # version, no flags
+    for attr in (b"channels", b"compression", b"dataWindow",
+                 b"displayWindow", b"lineOrder", b"pixelAspectRatio",
+                 b"screenWindowCenter", b"screenWindowWidth"):
+        assert attr + b"\0" in raw[:400], attr
+    # chlist alphabetical: B before G before R
+    i_b, i_g, i_r = (raw.index(c + b"\0", 8) for c in (b"B", b"G", b"R"))
+    assert i_b < i_g < i_r
+    # first scanline offset points at a block whose y == 0 and whose size
+    # is one uncompressed row of 3 float channels
+    hdr_end = raw.index(b"\0" * 1, raw.index(b"screenWindowWidth"))  # coarse
+    # locate offset table: read the first uint64 after the header terminator
+    # by scanning for a plausible in-file offset whose block header matches
+    h, w = img.shape[:2]
+    row_bytes = 3 * w * 4
+    found = False
+    for pos in range(8, len(raw) - 16):
+        off = int(np.frombuffer(raw[pos:pos + 8], np.uint64)[0])
+        if 0 < off < len(raw) - 8:
+            y, size = np.frombuffer(raw[off:off + 8], np.int32)
+            if y == 0 and size == row_bytes and off + 8 * h < len(raw):
+                found = True
+                break
+    assert found
