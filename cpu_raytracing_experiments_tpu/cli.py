@@ -265,6 +265,16 @@ def cmd_aov(args):
     image_io.write_png(f"{prefix}_normal.png", aovs["normal"] * 0.5 + 0.5)
     image_io.write_png(f"{prefix}_albedo.png", aovs["albedo"])
     np.save(f"{prefix}_prim_id.npy", aovs["prim_id"])
+    if args.exr_out:
+        n, a = aovs["normal"], aovs["albedo"]
+        image_io.write_exr(args.exr_out, channels={
+            "albedo.R": a[..., 0], "albedo.G": a[..., 1],
+            "albedo.B": a[..., 2],
+            "N.X": n[..., 0], "N.Y": n[..., 1], "N.Z": n[..., 2],
+            "depth.Z": np.where(finite, depth, 0.0),
+            "id": aovs["prim_id"].astype(np.float32),
+        })
+        print(f"wrote {args.exr_out}")
     print(f"wrote {prefix}_{{depth,normal,albedo}}.png + _prim_id.npy")
 
 
@@ -329,6 +339,7 @@ def main(argv=None):
     p = sub.add_parser("aov", help="first-bounce AOVs (depth/normal/albedo)")
     _add_common(p)
     p.add_argument("--out-prefix", default="aov")
+    p.add_argument("--exr-out", help="also write all AOVs as one multi-channel EXR")
     p.set_defaults(fn=cmd_aov)
 
     p = sub.add_parser("ao", help="ambient-occlusion render")

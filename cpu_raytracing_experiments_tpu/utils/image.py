@@ -130,17 +130,26 @@ def _exr_attr(name: bytes, typ: bytes, data: bytes) -> bytes:
     return name + b"\0" + typ + b"\0" + np.int32(len(data)).tobytes() + data
 
 
-def write_exr(path, rgb: np.ndarray):
-    """Write [H, W, 3] float32 linear RGB as an uncompressed scanline EXR."""
-    img = np.asarray(rgb, np.float32)
-    h, w = img.shape[:2]
-    # channel list: alphabetically sorted names, each {name, pixel_type=2
-    # (FLOAT), pLinear=0, reserved[3], xSampling=1, ySampling=1}
-    def ch(name: bytes) -> bytes:
-        return (name + b"\0" + np.int32(2).tobytes() + b"\0\0\0\0"
-                + np.int32(1).tobytes() + np.int32(1).tobytes())
-
-    chlist = ch(b"B") + ch(b"G") + ch(b"R") + b"\0"
+def write_exr(path, rgb: np.ndarray = None, channels: dict = None):
+    """Write an uncompressed FLOAT scanline EXR. `rgb` [H, W, 3] becomes
+    channels R/G/B; `channels` adds (or fully specifies) named [H, W]
+    planes — AOVs ride the same file (e.g. {'N.X': nx, 'depth.Z': z})."""
+    planes = {}
+    if rgb is not None:
+        img = np.asarray(rgb, np.float32)
+        planes.update({"R": img[:, :, 0], "G": img[:, :, 1],
+                       "B": img[:, :, 2]})
+    for k, v in (channels or {}).items():
+        planes[k] = np.asarray(v, np.float32)
+    names = sorted(planes)  # EXR requires an alphabetized channel list
+    h, w = planes[names[0]].shape
+    # channel entry: {name\0, pixel_type=2 (FLOAT), pLinear=0 + reserved[3],
+    # xSampling=1, ySampling=1}; list terminated by one null byte
+    chlist = b"".join(
+        n.encode() + b"\0" + np.int32(2).tobytes() + b"\0\0\0\0"
+        + np.int32(1).tobytes() + np.int32(1).tobytes()
+        for n in names
+    ) + b"\0"
     box = np.array([0, 0, w - 1, h - 1], np.int32).tobytes()
     header = (
         _exr_attr(b"channels", b"chlist", chlist)
@@ -155,18 +164,20 @@ def write_exr(path, rgb: np.ndarray):
         + b"\0"
     )
     preamble = np.array([_EXR_MAGIC, 2], np.int32).tobytes() + header
-    # scanline blocks: y:int32, byte count:int32, then B row | G row | R row
-    row_bytes = 3 * w * 4
+    # scanline blocks: y:int32, byte count:int32, then one full row per
+    # channel in chlist order
+    nch = len(names)
+    row_bytes = nch * w * 4
     block = 8 + row_bytes
     offset0 = len(preamble) + 8 * h
     offsets = (offset0 + block * np.arange(h, dtype=np.uint64)).tobytes()
-    # rows as [H, 3, W]: channel-major per scanline in B, G, R order
-    rows = np.ascontiguousarray(img[:, :, ::-1].transpose(0, 2, 1))
+    rows = np.stack([planes[n] for n in names], axis=1)  # [H, nch, W]
     head = np.empty((h, 2), np.int32)
     head[:, 0] = np.arange(h)
     head[:, 1] = row_bytes
     body = np.concatenate(
-        [head.view(np.uint8), rows.reshape(h, -1).view(np.uint8)], axis=1
+        [head.view(np.uint8),
+         np.ascontiguousarray(rows).reshape(h, -1).view(np.uint8)], axis=1
     )
     with open(path, "wb") as f:
         f.write(preamble)
@@ -174,12 +185,14 @@ def write_exr(path, rgb: np.ndarray):
         f.write(body.tobytes())
 
 
-def read_exr(path) -> np.ndarray:
-    """Read an EXR written by write_exr (uncompressed FLOAT B/G/R only)."""
+def read_exr_channels(path) -> dict:
+    """Read an EXR written by write_exr: {name: [H, W] float32}.
+    Uncompressed FLOAT scanlines only."""
     raw = open(path, "rb").read()
     assert np.frombuffer(raw[:8], np.int32)[0] == _EXR_MAGIC, "not an EXR"
     pos = 8
     w = h = None
+    names = []
     while raw[pos] != 0:  # attributes until the null terminator
         name_end = raw.index(b"\0", pos)
         name = raw[pos:name_end]
@@ -189,20 +202,36 @@ def read_exr(path) -> np.ndarray:
         if name == b"dataWindow":
             x0, y0, x1, y1 = np.frombuffer(data, np.int32)
             w, h = int(x1 - x0 + 1), int(y1 - y0 + 1)
-        if name == b"compression":
+        elif name == b"compression":
             assert data == b"\0", "only NO_COMPRESSION supported"
+        elif name == b"channels":
+            cpos = 0
+            while data[cpos] != 0:
+                cend = data.index(b"\0", cpos)
+                names.append(data[cpos:cend].decode())
+                assert np.frombuffer(
+                    data[cend + 1 : cend + 5], np.int32
+                )[0] == 2, "only FLOAT channels supported"
+                cpos = cend + 17  # name\0 + 4 type + 4 pLinear + 4 + 4
         pos = typ_end + 5 + size
     pos += 1  # header terminator
     pos += 8 * h  # offset table
-    out = np.empty((h, 3, w), np.float32)
-    row_bytes = 3 * w * 4
-    for i in range(h):
+    nch = len(names)
+    out = np.empty((h, nch, w), np.float32)
+    row_bytes = nch * w * 4
+    for _ in range(h):
         y = int(np.frombuffer(raw[pos : pos + 4], np.int32)[0])
         out[y] = np.frombuffer(
             raw[pos + 8 : pos + 8 + row_bytes], np.float32
-        ).reshape(3, w)
+        ).reshape(nch, w)
         pos += 8 + row_bytes
-    return out[:, ::-1, :].transpose(0, 2, 1).copy()  # BGR rows -> [H, W, 3]
+    return {n: out[:, i, :].copy() for i, n in enumerate(names)}
+
+
+def read_exr(path) -> np.ndarray:
+    """Read an EXR's R/G/B channels as [H, W, 3] float32."""
+    ch = read_exr_channels(path)
+    return np.stack([ch["R"], ch["G"], ch["B"]], axis=-1)
 
 
 def store(path, rgb: np.ndarray):

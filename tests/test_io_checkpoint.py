@@ -347,3 +347,22 @@ def test_exr_roundtrip_and_structure(tmp_path):
                 found = True
                 break
     assert found
+
+
+def test_exr_multichannel_aovs(tmp_path):
+    """Multi-channel EXR: AOV planes ride the same file; channel list stays
+    alphabetized regardless of insertion order; values roundtrip exactly."""
+    import numpy as np
+
+    from cpu_raytracing_experiments_tpu.utils import image as im
+
+    rng = np.random.default_rng(5)
+    rgb = rng.uniform(0, 4, (9, 13, 3)).astype(np.float32)
+    z = rng.uniform(0, 50, (9, 13)).astype(np.float32)
+    nx = rng.normal(size=(9, 13)).astype(np.float32)
+    im.write_exr(tmp_path / "m.exr", rgb, channels={"depth.Z": z, "N.X": nx})
+    ch = im.read_exr_channels(tmp_path / "m.exr")
+    assert sorted(ch) == ["B", "G", "N.X", "R", "depth.Z"]
+    np.testing.assert_array_equal(ch["depth.Z"], z)
+    np.testing.assert_array_equal(ch["N.X"], nx)
+    np.testing.assert_array_equal(im.read_exr(tmp_path / "m.exr"), rgb)
