@@ -1067,7 +1067,7 @@ def intersect_clustered_pallas(
             _stream_kernels(cp.kind, k, shadow=False),
             grid=(t_tiles,),
             in_specs=[smem_row(1), smem_row(c), smem_row(c), root_spec]
-            + [col] * 8 + [pl.BlockSpec(memory_space=pltpu.ANY)],
+            + [col] * 8 + [pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[col, col],
             out_shape=[
                 _out_struct((rp, 1), jnp.float32, ray_in[0]),
@@ -1160,7 +1160,7 @@ def occluded_clustered_pallas(
             _stream_kernels(cp.kind, k, shadow=True),
             grid=(t_tiles,),
             in_specs=[smem_row(1), smem_row(c), smem_row(c), root_spec]
-            + [col] * 8 + [pl.BlockSpec(memory_space=pltpu.ANY)],
+            + [col] * 8 + [pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=col,
             out_shape=_out_struct((rp, 1), jnp.int32, ray_in[0]),
             scratch_shapes=[

@@ -15,3 +15,19 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free XLA:CPU compiler state between test modules. The full suite's
+    ~230 in-process compilations accumulate enough jit/LLVM state that the
+    CPU backend segfaults inside backend_compile_and_load near the end of
+    the run (reproducible at suite scale only — every module passes alone).
+    Dropping executable caches at module boundaries keeps peak compiler
+    state bounded; modules recompile their own configs anyway, so the
+    wall-clock cost is small."""
+    yield
+    jax.clear_caches()
