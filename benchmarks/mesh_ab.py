@@ -30,8 +30,9 @@ def main():
                     help="ray-tiles per planner program (multiple of 8)")
     ap.add_argument("--unroll", type=int, default=1, choices=[1, 2, 4, 8],
                     help="cluster visits per traversal-loop trip")
-    ap.add_argument("--fuse", action="store_true",
-                    help="fused paired visits + loop-carried hit state")
+    ap.add_argument("--fuse", nargs="?", const=2, default=0, type=int,
+                    help="fused visits per trip (2|4) + loop-carried hit "
+                         "state; bare --fuse = 2")
     ap.add_argument("--trav-block", type=int, default=1, choices=[1, 8],
                     help="ray-tiles per traversal program")
     args = ap.parse_args()

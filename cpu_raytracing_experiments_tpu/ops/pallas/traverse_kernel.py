@@ -526,11 +526,20 @@ def _plan_visits(cp: ClusteredPrims, ray_in, t_tiles: int, tile_r: int,
 # ---------------------------------------------------------------------------
 # Traversal kernels (visit lists + entry distances as SMEM scalars)
 # ---------------------------------------------------------------------------
+def _fuse_width(fuse) -> int:
+    """Normalize the fuse knob: False/0 = serial loop, True = paired visits
+    (the original fused schedule), 2/4 = that many clusters per loop trip."""
+    if fuse is True:
+        return 2
+    return int(fuse or 0)
+
+
 def _make_closest_kernel(kind: str, k_prims: int, mxu: bool = False,
-                         unroll: int = 1, fuse: bool = False, tb: int = 1):
+                         unroll: int = 1, fuse=False, tb: int = 1):
     battery = _BATTERIES[kind]
     use_mxu = mxu and kind == "triangle"
     n_attr = _N_ATTRS[kind]
+    fw = _fuse_width(fuse)
 
     def kernel(*refs):
         (nvis, visit, entry, root) = refs[:4]
@@ -572,7 +581,7 @@ def _make_closest_kernel(kind: str, k_prims: int, mxu: bool = False,
                 return (jnp.where(closer, best, tfc),
                         jnp.where(closer, packed_of(arg), prc))
 
-            if not fuse:
+            if not fw:
                 tfar_out[s, :] = tf0
                 prim_out[s, :] = jnp.full((px.shape[0] // tb, 1), -1,
                                           jnp.int32)
@@ -624,46 +633,50 @@ def _make_closest_kernel(kind: str, k_prims: int, mxu: bool = False,
 
                 jax.lax.while_loop(cond, body, jnp.int32(0))
             else:
-                # Fused paired visits with loop-carried hit state: two
-                # clusters' batteries concatenate into one [TILE_R, 2K]
-                # block, so the min / min-iota reductions and the closer/
-                # select epilogue run once per PAIR, and the running
-                # (tfar, prim) ride the while_loop carry instead of VMEM
-                # refs (no per-visit load/store). Bit-exact vs the serial
-                # loop: lanes of the first cluster come first in the
-                # concat, so the lexicographic (t, lane) tie-break keeps
-                # the visit-order-first semantics, and the second visit's
-                # gate (j+1 < n, sorted entry below the stale bound) is the
-                # same test the serial pl.when applies.
+                # Fused visits with loop-carried hit state: `fw` clusters'
+                # batteries concatenate into one [TILE_R, fw*K] block, so
+                # the min / min-iota reductions and the closer/select
+                # epilogue run once per TRIP, and the running (tfar, prim)
+                # ride the while_loop carry instead of VMEM refs (no
+                # per-visit load/store). Bit-exact vs the serial loop:
+                # cluster u's lanes precede cluster u+1's in the concat, so
+                # the lexicographic (t, lane) tie-break keeps the
+                # visit-order-first semantics, and each extra visit's gate
+                # (j+u < n, sorted entry below the stale bound) is the same
+                # test the serial pl.when applies.
                 def cond(state):
                     j = state[0]
                     return (j < n) & (entry[row, j] < mx[0, 0])
 
                 def body(state):
                     j, tfc, prc = state
-                    c0 = visit[row, j]
-                    j1 = jnp.minimum(j + 1, n - 1)
-                    use1 = (j + 1 < n) & (entry[row, j1] < mx[0, 0])
-                    c1 = visit[row, j1]
-                    t0 = battery_at(c0)
-                    t1 = jnp.where(use1, battery_at(c1), FLT_MAX)
-                    t = jnp.concatenate([t0, t1], axis=1)
-                    tfc, prc = select_best(
-                        t, tfc, prc,
-                        lambda arg: jnp.where(
-                            arg < k_prims,
-                            c0 * k_prims + arg,
-                            c1 * k_prims + (arg - k_prims),
-                        ),
-                    )
+                    cs, ts = [visit[row, j]], [battery_at(visit[row, j])]
+                    for u2 in range(1, fw):
+                        ju = jnp.minimum(j + u2, n - 1)
+                        use = (j + u2 < n) & (entry[row, ju] < mx[0, 0])
+                        cu = visit[row, ju]
+                        cs.append(cu)
+                        ts.append(jnp.where(use, battery_at(cu), FLT_MAX))
+                    t = jnp.concatenate(ts, axis=1)
 
-                    @pl.when(jax.lax.rem(j, 8) == 6)
+                    def packed_of(arg):
+                        out = cs[0] * k_prims + arg
+                        for u2 in range(1, fw):
+                            out = jnp.where(
+                                arg < u2 * k_prims, out,
+                                cs[u2] * k_prims + (arg - u2 * k_prims),
+                            )
+                        return out
+
+                    tfc, prc = select_best(t, tfc, prc, packed_of)
+
+                    @pl.when(jax.lax.rem(j, 8) == 8 - fw)
                     def _():
                         mx[0, 0] = jnp.max(
                             jnp.where(ok, jnp.minimum(tfc, bound), -FLT_MAX)
                         )
 
-                    return j + 2, tfc, prc
+                    return j + fw, tfc, prc
 
                 _, tfc, prc = jax.lax.while_loop(
                     cond, body,
@@ -688,10 +701,11 @@ def _make_closest_kernel(kind: str, k_prims: int, mxu: bool = False,
 
 
 def _make_shadow_kernel(kind: str, k_prims: int = 0, mxu: bool = False,
-                        unroll: int = 1, fuse: bool = False, tb: int = 1):
+                        unroll: int = 1, fuse=False, tb: int = 1):
     battery = _ANYHIT_BATTERIES[kind]
     use_mxu = mxu and kind == "triangle"
     n_attr = _N_ATTRS[kind]
+    fw = _fuse_width(fuse)
 
     def kernel(*refs):
         (nvis, visit, entry, root) = refs[:4]
@@ -724,7 +738,7 @@ def _make_shadow_kernel(kind: str, k_prims: int = 0, mxu: bool = False,
                     )
                 return battery(rpx, rpy, rpz, rdx, rdy, rdz, tf, attrs, c)
 
-            if not fuse:
+            if not fw:
                 occ_out[s, :] = jnp.zeros((px.shape[0] // tb, 1), jnp.int32)
 
                 def visit_one(j):
@@ -752,32 +766,40 @@ def _make_shadow_kernel(kind: str, k_prims: int = 0, mxu: bool = False,
 
                 jax.lax.while_loop(cond, body, jnp.int32(0))
             else:
-                # fused paired visits, occlusion bits carried (see the
-                # closest kernel's fused branch for the exactness argument;
-                # any-hit is order-insensitive so only the gates matter)
+                # fused visits (fw per trip), occlusion bits carried (see
+                # the closest kernel's fused branch for the exactness
+                # argument; any-hit is order-insensitive so only the gates
+                # matter)
                 def cond(state):
                     j = state[0]
                     return (j < n) & (entry[row, j] < mx[0, 0])
 
                 def body(state):
                     j, occv = state
-                    j1 = jnp.minimum(j + 1, n - 1)
-                    use1 = (j + 1 < n) & (entry[row, j1] < mx[0, 0])
-                    occ0 = battery_at(visit[row, j])
-                    occ1 = battery_at(visit[row, j1]) & use1
-                    hit = (
-                        jnp.any(jnp.concatenate([occ0, occ1], axis=1),
-                                axis=1, keepdims=True)
-                        & ok
-                    )
+                    # per-block any-reductions OR'd together, NOT an i1
+                    # concat: Mosaic cannot bitcast i1 vregs for the
+                    # concatenate (caught on hardware by tpu_goldens.py;
+                    # interpret mode accepts both). Any-hit is
+                    # order-insensitive so the OR is identical.
+                    hit = jnp.any(battery_at(visit[row, j]), axis=1,
+                                  keepdims=True)
+                    for u2 in range(1, fw):
+                        ju = jnp.minimum(j + u2, n - 1)
+                        use = (j + u2 < n) & (entry[row, ju] < mx[0, 0])
+                        hit = hit | (
+                            jnp.any(battery_at(visit[row, ju]), axis=1,
+                                    keepdims=True)
+                            & use
+                        )
+                    hit = hit & ok
                     occv = jnp.where(hit, 1, occv)
 
-                    @pl.when(jax.lax.rem(j, 8) == 6)
+                    @pl.when(jax.lax.rem(j, 8) == 8 - fw)
                     def _():
                         live = ok & (occv == 0)
                         mx[0, 0] = jnp.max(jnp.where(live, bound, -FLT_MAX))
 
-                    return j + 2, occv
+                    return j + fw, occv
 
                 _, occv = jax.lax.while_loop(
                     cond, body,
@@ -1027,6 +1049,7 @@ def intersect_clustered_pallas(
     cluster into a double-buffered VMEM scratch (scenes beyond the VMEM
     residency ceiling; excludes mxu/fuse/unroll/trav_block)."""
     assert unroll in (1, 2, 4, 8), unroll
+    assert _fuse_width(fuse) in (0, 2, 4), fuse
     assert not (fuse and unroll != 1), (fuse, unroll)
     assert trav_block in (1, 8), trav_block
     assert not (stream and (mxu or fuse or unroll != 1 or trav_block != 1))
@@ -1127,6 +1150,7 @@ def occluded_clustered_pallas(
     tfar <= 0 plan no visits (the renderer masks invalid shadow rays by
     tfar=0, renderer.py shadow-trace contract)."""
     assert unroll in (1, 2, 4, 8), unroll
+    assert _fuse_width(fuse) in (0, 2, 4), fuse
     assert not (fuse and unroll != 1), (fuse, unroll)
     assert trav_block in (1, 8), trav_block
     assert not (stream and (mxu or fuse or unroll != 1 or trav_block != 1))

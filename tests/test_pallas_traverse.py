@@ -337,7 +337,9 @@ def test_unroll_and_plan_block_bit_exact(unroll, plan_block):
     np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
 
 
-@pytest.mark.parametrize("fuse,trav_block", [(True, 1), (False, 8), (True, 8)])
+@pytest.mark.parametrize(
+    "fuse,trav_block", [(True, 1), (False, 8), (True, 8), (4, 1), (4, 8)]
+)
 def test_fuse_and_trav_block_bit_exact(fuse, trav_block):
     """Fused paired visits (one [TILE_R, 2K] reduction + loop-carried hit
     state per pair) and the 8-tiles-per-program traversal schedule must be
