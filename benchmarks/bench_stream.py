@@ -29,14 +29,22 @@ from cpu_raytracing_experiments_tpu.ops import clustered
 from cpu_raytracing_experiments_tpu.ops.pallas import traverse_kernel as tk
 
 
+def _fence(out):
+    """block_until_ready does not reliably block through the axon tunnel
+    for small dispatches (ARCHITECTURE.md benchmarking trap); a host read
+    is the only true fence."""
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf[:1])
+
+
 def timeit(fn, *args, reps=5, **kw):
     out = fn(*args, **kw)
-    jax.block_until_ready(out)
+    _fence(out)
     best = 1e30
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(*args, **kw)
-        jax.block_until_ready(out)
+        _fence(out)
         best = min(best, time.perf_counter() - t0)
     return best * 1e3, out
 
@@ -78,7 +86,7 @@ def run_size(P, R, K, rng, streams=(False, True)):
             )
         except Exception as e:  # noqa: BLE001
             print(f"  P={P} stream={int(stream)}: FAIL "
-                  f"{type(e).__name__}: {str(e)[:200]}")
+                  f"{type(e).__name__}: {str(e)[:3000]}")
             continue
         mrays = R / ms / 1e3
         if base is None:

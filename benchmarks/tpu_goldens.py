@@ -56,8 +56,12 @@ def main():
         # cross-PLATFORM tolerance (TPU vs the CPU-rendered goldens) is
         # looser than the same-platform suite's 0.995: different fusion/
         # rounding moves ~1% of the 10-spp hero's high-variance pixels
-        # past isclose while the mean relative error stays ~5e-4
-        ok = close > 0.98
+        # past isclose while the mean relative error stays ~5e-4.
+        # The TRIANGLE mesh is looser still (0.92): shared-edge u/v
+        # decisions flip under different rounding, and a flipped winner
+        # changes that sample's whole downstream path — the same-platform
+        # pallas-vs-brute gate below is the real traversal-kernel check.
+        ok = close > (0.92 if name == "mesh" else 0.98)
         failures += not ok
         print(json.dumps({
             "scene": name,
@@ -67,6 +71,24 @@ def main():
                 float(np.abs(img - want).mean() / max(want.mean(), 1e-6)), 6
             ),
             "ok": ok,
+        }), flush=True)
+    # Same-platform traversal-kernel gate: the compiled Pallas traversal vs
+    # the XLA brute battery ON THE SAME DEVICE. This isolates the kernel
+    # from CPU-vs-TPU platform rounding: both paths share the hit framing,
+    # shading and RNG, and differ only in intersection algebra (brute
+    # Moller-Trumbore vs kernel Baldwin-Weber — float-rounding different,
+    # so the gate is tight isclose, not bit-equality).
+    for name, (scene, p, size, img) in list(hw_imgs.items()):
+        pb = dataclasses.replace(p, accel="brute", primary_accel=None)
+        rb = Renderer(scene, pb, size, size)
+        rb.accumulate(SPP)
+        brute_img = np.asarray(rb.render(tonemap=False))
+        close = float(np.isclose(img, brute_img, rtol=1e-3, atol=1e-4).mean())
+        ok = close > 0.995
+        failures += not ok
+        print(json.dumps({
+            "scene": name, "accel": "pallas_vs_brute_same_device",
+            "pixels_close": round(close, 5), "ok": ok,
         }), flush=True)
     # bit-exact traversal-schedule knobs must stay bit-exact when
     # Mosaic-COMPILED too (interpret mode accepts lowerings hardware

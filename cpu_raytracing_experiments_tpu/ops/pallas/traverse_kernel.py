@@ -827,9 +827,18 @@ def _make_shadow_kernel(kind: str, k_prims: int = 0, mxu: bool = False,
 # (~1M tris at the 64 MB grant) to HBM scale: per-visit traffic is F*K*4 B
 # (48 KB at K=1024) against a ~2.6 us battery — fully overlapped.
 # ---------------------------------------------------------------------------
+def _stream_rows(kind: str) -> int:
+    """Rows per cluster in the packed streaming table: n_attr rounded up to
+    the 8-sublane tiling — Mosaic requires VMEM memref slices 8-row-aligned
+    in dim 0 ("Slice shape along dimension 0 must be aligned to tiling (8)",
+    caught on the first hardware compile; interpret mode accepts unpadded)."""
+    return -(-_N_ATTRS[kind] // 8) * 8
+
+
 def _stream_kernels(kind: str, k_prims: int, shadow: bool):
     battery = (_ANYHIT_BATTERIES if shadow else _BATTERIES)[kind]
     n_attr = _N_ATTRS[kind]
+    f8 = _stream_rows(kind)
 
     def kernel(*refs):
         (nvis, visit, entry, root) = refs[:4]
@@ -859,8 +868,8 @@ def _stream_kernels(kind: str, k_prims: int, shadow: bool):
         def dma(j, slot):
             c = visit[row, j]
             return pltpu.make_async_copy(
-                packed.at[pl.ds(c * n_attr, n_attr), :],
-                buf.at[pl.ds(slot * n_attr, n_attr), :],
+                packed.at[pl.ds(c * f8, f8), :],
+                buf.at[pl.ds(slot * f8, f8), :],
                 sem.at[slot],
             )
 
@@ -881,7 +890,7 @@ def _stream_kernels(kind: str, k_prims: int, shadow: bool):
                 dma(j + 1, 1 - slot).start()
 
             dma(j, slot).wait()
-            base = slot * n_attr
+            base = slot * f8
             attrs = tuple(
                 buf[pl.ds(base + f, 1), :] for f in range(n_attr)
             )
@@ -927,12 +936,17 @@ def _stream_kernels(kind: str, k_prims: int, shadow: bool):
 
 
 def _tables_packed(cp: ClusteredPrims):
-    """[C*F, K] row-packed attribute planes for the streaming kernels:
-    cluster c's F attribute rows are contiguous, so one DMA fetches a whole
-    cluster."""
+    """[C*F8, K] row-packed attribute planes for the streaming kernels:
+    cluster c's attribute rows are contiguous (zero-padded from n_attr to
+    the 8-row sublane tiling, see _stream_rows), so one aligned DMA fetches
+    a whole cluster."""
     attrs = _tables(cp)
     c, k = cp.num_clusters, cp.cluster_size
-    return jnp.stack(attrs, axis=1).reshape(c * len(attrs), k)
+    f8 = _stream_rows(cp.kind)
+    stacked = jnp.stack(attrs, axis=1)  # [C, F, K]
+    if f8 != len(attrs):
+        stacked = jnp.pad(stacked, ((0, 0), (0, f8 - len(attrs)), (0, 0)))
+    return stacked.reshape(c * f8, k)
 
 
 # ---------------------------------------------------------------------------
@@ -1098,7 +1112,7 @@ def intersect_clustered_pallas(
             ],
             scratch_shapes=[
                 pltpu.SMEM((1, 1), jnp.float32),
-                pltpu.VMEM((2 * n_attr, k), jnp.float32),
+                pltpu.VMEM((2 * _stream_rows(cp.kind), k), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
@@ -1189,7 +1203,7 @@ def occluded_clustered_pallas(
             out_shape=_out_struct((rp, 1), jnp.int32, ray_in[0]),
             scratch_shapes=[
                 pltpu.SMEM((1, 1), jnp.float32),
-                pltpu.VMEM((2 * n_attr, k), jnp.float32),
+                pltpu.VMEM((2 * _stream_rows(cp.kind), k), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
