@@ -55,6 +55,16 @@ class ClusteredPrims:
     kind: str = "sphere"
 
 
+def _norm_k(k: int) -> int:
+    """Normalize a cluster size: sub-128 sizes round up to the next power
+    of two so they divide the 128-lane vreg width — the Pallas traversal
+    kernels lane-pack 128/K sub-128 clusters per battery and need
+    K * pack == 128 exactly."""
+    if k >= 128:
+        return k
+    return 1 << max(0, (k - 1)).bit_length()
+
+
 def build_clusters_sah(
     mins: np.ndarray,
     maxs: np.ndarray,
@@ -80,7 +90,7 @@ def build_clusters_sah(
     mins32 = np.asarray(mins, np.float32)
     maxs32 = np.asarray(maxs, np.float32)
     p = mins32.shape[0]
-    k = int(min(cluster_size, max(1, p)))
+    k = _norm_k(int(min(cluster_size, max(1, p))))
     # native full-sweep SAH (native/bvh_builder.cpp, same algorithm family
     # as the reference's BVH.hpp:90-206 build) — ~100x faster than the numpy
     # binned fallback at 100k prims (51 s -> sub-second)
@@ -173,7 +183,7 @@ def build_clusters(
     q = ((cent - lo) / span * ((1 << 21) - 1)).astype(np.uint64)
     order = np.argsort(_morton3(q[:, 0], q[:, 1], q[:, 2]), kind="stable")
 
-    k = -(-p // num_clusters)
+    k = _norm_k(-(-p // num_clusters))
     padded = num_clusters * k
     full_order = np.full(padded, -1, np.int64)
     full_order[:p] = order

@@ -49,6 +49,15 @@ def _tile_for(kw: dict, cp) -> dict:
     own visit schedule (mxu/fuse/unroll/trav_block drop per-pack)."""
     if kw.get("tile_r") == "auto":
         kw = dict(kw, tile_r=128 if cp.num_clusters < 512 else 256)
+    if kw.get("fuse") == "auto":
+        # fused-visit width by cluster size (measured, benchmarks/
+        # RESULTS.md): K<=256 takes quad trips (20k mesh 7.04 -> 7.40
+        # Mrays/s), the wide K=512 batteries already amortize the epilogue
+        # and prefer pairs (100k 4.86 -> 5.17; fuse=4 measured 5.11).
+        # trav_block=8 composes (both bit-exact).
+        kw = dict(kw, fuse=4 if cp.cluster_size <= 256 else 2,
+                  trav_block=8 if kw.get("trav_block") == 1 else
+                  kw.get("trav_block"))
     if kw.get("stream") == "auto":
         kw = dict(kw, stream=_tk.table_bytes(cp) > PALLAS_STREAM_BYTES)
     if kw.get("stream"):
@@ -61,7 +70,7 @@ def _pallas_kw(policy) -> dict:
     if policy is None:
         return {"tile_r": _tk.DEFAULT_TILE_R, "sort": True, "compact": False,
                 "interpret": False, "mxu": False, "plan": "ray",
-                "plan_block": 8, "unroll": 1, "fuse": False, "trav_block": 1,
+                "plan_block": 8, "unroll": 1, "fuse": "auto", "trav_block": 1,
                 "stream": "auto"}
     return {
         "tile_r": policy.pallas_tile_rays,

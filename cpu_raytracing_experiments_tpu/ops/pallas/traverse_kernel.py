@@ -121,28 +121,29 @@ def _out_struct(shape, dtype, like):
 # ---------------------------------------------------------------------------
 # Batteries (kernel-side): rays [TILE_R, 1] x prims [K] -> t [TILE_R, K]
 # ---------------------------------------------------------------------------
-def _sphere_battery(px, py, pz, dx, dy, dz, attrs, c):
-    cx, cy, cz, rsq = attrs
-    tx = cx[c][None, :] - px
-    ty = cy[c][None, :] - py
-    tz = cz[c][None, :] - pz
+def _sphere_battery(px, py, pz, dx, dy, dz, rows):
+    """rows = per-attribute [1, L] cluster rows (prebuilt by the caller:
+    one cluster's table row, a lane-packed group of sub-128 clusters, or a
+    DMA'd streaming buffer row)."""
+    cx, cy, cz, rsq = rows
+    tx = cx - px
+    ty = cy - py
+    tz = cz - pz
     b = dx * tx + dy * ty + dz * tz
-    disc = rsq[c][None, :] - (tx * tx + ty * ty + tz * tz) + b * b
+    disc = rsq - (tx * tx + ty * ty + tz * tz) + b * b
     sq = jnp.sqrt(jnp.maximum(disc, 0.0))
     t_near = b - sq
     t = jnp.where(t_near < 0.0, b + sq, t_near)
     return jnp.where((disc >= 0.0) & (t >= 0.0), t, FLT_MAX)
 
 
-def _triangle_battery(px, py, pz, dx, dy, dz, attrs, c):
+def _triangle_battery(px, py, pz, dx, dy, dz, rows):
     """Baldwin-Weber precomputed-plane test: ~40 VPU ops/pair vs
     Moller-Trumbore's ~57 (the per-pair cross products move to a per-tri
     host/loop-invariant precompute in _tables). Same u/v semantics (e1/e2
     barycentrics) and epsilons as the XLA brute battery; results agree to
     float rounding."""
-    (nx, ny, nz, d0, f1x, f1y, f1z, g1, f2x, f2y, f2z, g2) = (
-        a[c][None, :] for a in attrs
-    )
+    (nx, ny, nz, d0, f1x, f1y, f1z, g1, f2x, f2y, f2z, g2) = rows
     den = nx * dx + ny * dy + nz * dz
     num = d0 - (nx * px + ny * py + nz * pz)
     t = num / den
@@ -161,18 +162,18 @@ def _triangle_battery(px, py, pz, dx, dy, dz, attrs, c):
     return jnp.where(valid, t, FLT_MAX)
 
 
-def _sphere_anyhit_battery(px, py, pz, dx, dy, dz, tf, attrs, c):
+def _sphere_anyhit_battery(px, py, pz, dx, dy, dz, tf, rows):
     """Occlusion bits [TILE_R, K] — the sqrt-free any-hit predicate
     (see ops/intersect.py::_sphere_occluded_pairs for the derivation):
     every root comparison of the reference's selected-root-in-[0,tfar)
     test becomes a sign test plus a square comparison, dropping the sqrt,
     the root select and the FLT_MAX select from the shadow battery."""
-    cx, cy, cz, rsq = attrs
-    tx = cx[c][None, :] - px
-    ty = cy[c][None, :] - py
-    tz = cz[c][None, :] - pz
+    cx, cy, cz, rsq = rows
+    tx = cx - px
+    ty = cy - py
+    tz = cz - pz
     b = dx * tx + dy * ty + dz * tz
-    disc = rsq[c][None, :] - (tx * tx + ty * ty + tz * tz) + b * b
+    disc = rsq - (tx * tx + ty * ty + tz * tz) + b * b
     bb = b * b
     e = b - tf
     q = e * e
@@ -190,8 +191,8 @@ def _sphere_anyhit_battery(px, py, pz, dx, dy, dz, tf, attrs, c):
     return (disc >= 0.0) & sel
 
 
-def _triangle_anyhit_battery(px, py, pz, dx, dy, dz, tf, attrs, c):
-    return _triangle_battery(px, py, pz, dx, dy, dz, attrs, c) < tf
+def _triangle_anyhit_battery(px, py, pz, dx, dy, dz, tf, rows):
+    return _triangle_battery(px, py, pz, dx, dy, dz, rows) < tf
 
 
 def _triangle_battery_mxu(pmat, dmat, attrs, c, k):
@@ -534,12 +535,31 @@ def _fuse_width(fuse) -> int:
     return int(fuse or 0)
 
 
+def _pack_rows(attrs, cs_group, lane_grp, k_prims):
+    """[1, 128] attribute rows covering a lane-packed GROUP of sub-128
+    clusters: the tables are lane-TILED (each [C, 128] row repeats its
+    cluster's K values 128/K times — see _tables in the wrappers), so lane
+    group g of the packed row takes cluster cs_group[g]'s row unshifted
+    (value at lane l is prim l % K in every group). pack-1 scalar-gated
+    vector selects per attribute, no lane concat/rotate (Mosaic-safe)."""
+    rows = []
+    for a in attrs:
+        r = a[cs_group[0]][None, :]
+        for g in range(1, len(cs_group)):
+            r = jnp.where(lane_grp == g, a[cs_group[g]][None, :], r)
+        rows.append(r)
+    return tuple(rows)
+
+
 def _make_closest_kernel(kind: str, k_prims: int, mxu: bool = False,
-                         unroll: int = 1, fuse=False, tb: int = 1):
+                         unroll: int = 1, fuse=False, tb: int = 1,
+                         pack: int = 1):
     battery = _BATTERIES[kind]
     use_mxu = mxu and kind == "triangle"
     n_attr = _N_ATTRS[kind]
     fw = _fuse_width(fuse)
+    if pack > 1:
+        fw = max(fw, 1)  # lane-packed mode runs through the fused branch
 
     def kernel(*refs):
         (nvis, visit, entry, root) = refs[:4]
@@ -547,6 +567,10 @@ def _make_closest_kernel(kind: str, k_prims: int, mxu: bool = False,
         attrs = refs[12 : 12 + n_attr]
         tfar_out, prim_out = refs[12 + n_attr : 14 + n_attr]
         mx = refs[14 + n_attr]
+        lane_grp = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) // k_prims
+            if pack > 1 else None
+        )
 
         def one_tile(row, u, _):
             s = pl.ds(u * px.shape[0] // tb, px.shape[0] // tb)
@@ -565,7 +589,8 @@ def _make_closest_kernel(kind: str, k_prims: int, mxu: bool = False,
             def battery_at(c):
                 if use_mxu:
                     return _triangle_battery_mxu(pmat, dmat, attrs, c, k_prims)
-                return battery(rpx, rpy, rpz, rdx, rdy, rdz, attrs, c)
+                rows = tuple(a[c][None, :] for a in attrs)
+                return battery(rpx, rpy, rpz, rdx, rdy, rdz, rows)
 
             def select_best(t, tfc, prc, packed_of):
                 best = jnp.min(t, axis=1, keepdims=True)
@@ -633,50 +658,81 @@ def _make_closest_kernel(kind: str, k_prims: int, mxu: bool = False,
 
                 jax.lax.while_loop(cond, body, jnp.int32(0))
             else:
-                # Fused visits with loop-carried hit state: `fw` clusters'
-                # batteries concatenate into one [TILE_R, fw*K] block, so
-                # the min / min-iota reductions and the closer/select
-                # epilogue run once per TRIP, and the running (tfar, prim)
-                # ride the while_loop carry instead of VMEM refs (no
-                # per-visit load/store). Bit-exact vs the serial loop:
-                # cluster u's lanes precede cluster u+1's in the concat, so
-                # the lexicographic (t, lane) tie-break keeps the
+                # Fused visits with loop-carried hit state: each trip
+                # covers w = fw*pack clusters — fw batteries, each a
+                # [TILE_R, pack*K] lane-packed group of `pack` sub-128
+                # clusters (_pack_rows) — concatenated into one
+                # [TILE_R, fw*128] block, so the min / min-iota reductions
+                # and the closer/select epilogue run once per TRIP, and
+                # the running (tfar, prim) ride the while_loop carry
+                # instead of VMEM refs (no per-visit load/store).
+                # Bit-exact vs the serial loop: cluster u's lanes precede
+                # cluster u+1's in the concat/pack order, so the
+                # lexicographic (t, lane) tie-break keeps the
                 # visit-order-first semantics, and each extra visit's gate
-                # (j+u < n, sorted entry below the stale bound) is the same
-                # test the serial pl.when applies.
+                # (j+u < n, sorted entry below the stale bound) is the
+                # same test the serial pl.when applies — ungated lanes of
+                # a partially-live group are forced to FLT_MAX.
+                w = fw * pack
+
                 def cond(state):
                     j = state[0]
                     return (j < n) & (entry[row, j] < mx[0, 0])
 
                 def body(state):
                     j, tfc, prc = state
-                    cs, ts = [visit[row, j]], [battery_at(visit[row, j])]
-                    for u2 in range(1, fw):
+                    cs, uses = [], []
+                    for u2 in range(w):
                         ju = jnp.minimum(j + u2, n - 1)
-                        use = (j + u2 < n) & (entry[row, ju] < mx[0, 0])
-                        cu = visit[row, ju]
-                        cs.append(cu)
-                        ts.append(jnp.where(use, battery_at(cu), FLT_MAX))
-                    t = jnp.concatenate(ts, axis=1)
+                        cs.append(visit[row, ju])
+                        uses.append(
+                            None if u2 == 0
+                            else (j + u2 < n) & (entry[row, ju] < mx[0, 0])
+                        )
+                    ts = []
+                    for b in range(fw):
+                        grp = cs[b * pack:(b + 1) * pack]
+                        gus = uses[b * pack:(b + 1) * pack]
+                        if pack == 1:
+                            tb_ = battery_at(grp[0])
+                            if gus[0] is not None:
+                                tb_ = jnp.where(gus[0], tb_, FLT_MAX)
+                        else:
+                            rows = _pack_rows(attrs, grp, lane_grp, k_prims)
+                            tb_ = battery(rpx, rpy, rpz, rdx, rdy, rdz,
+                                          rows)
+                            gm = None
+                            for g, gu in enumerate(gus):
+                                if gu is None:
+                                    continue
+                                bad = (lane_grp == g) & jnp.logical_not(gu)
+                                gm = bad if gm is None else (gm | bad)
+                            if gm is not None:
+                                tb_ = jnp.where(gm, FLT_MAX, tb_)
+                        ts.append(tb_)
+                    t = jnp.concatenate(ts, axis=1) if fw > 1 else ts[0]
 
                     def packed_of(arg):
-                        out = cs[0] * k_prims + arg
-                        for u2 in range(1, fw):
-                            out = jnp.where(
-                                arg < u2 * k_prims, out,
-                                cs[u2] * k_prims + (arg - u2 * k_prims),
-                            )
-                        return out
+                        wk = pack * k_prims
+                        bb = arg // wk
+                        li = arg - bb * wk
+                        g = li // k_prims
+                        pr = li - g * k_prims
+                        grp_i = bb * pack + g
+                        c_sel = cs[0]
+                        for i in range(1, w):
+                            c_sel = jnp.where(grp_i == i, cs[i], c_sel)
+                        return c_sel * k_prims + pr
 
                     tfc, prc = select_best(t, tfc, prc, packed_of)
 
-                    @pl.when(jax.lax.rem(j, 8) == 8 - fw)
+                    @pl.when(jax.lax.rem(j, 8) == (8 - w) % 8)
                     def _():
                         mx[0, 0] = jnp.max(
                             jnp.where(ok, jnp.minimum(tfc, bound), -FLT_MAX)
                         )
 
-                    return j + fw, tfc, prc
+                    return j + w, tfc, prc
 
                 _, tfc, prc = jax.lax.while_loop(
                     cond, body,
@@ -701,11 +757,14 @@ def _make_closest_kernel(kind: str, k_prims: int, mxu: bool = False,
 
 
 def _make_shadow_kernel(kind: str, k_prims: int = 0, mxu: bool = False,
-                        unroll: int = 1, fuse=False, tb: int = 1):
+                        unroll: int = 1, fuse=False, tb: int = 1,
+                        pack: int = 1):
     battery = _ANYHIT_BATTERIES[kind]
     use_mxu = mxu and kind == "triangle"
     n_attr = _N_ATTRS[kind]
     fw = _fuse_width(fuse)
+    if pack > 1:
+        fw = max(fw, 1)
 
     def kernel(*refs):
         (nvis, visit, entry, root) = refs[:4]
@@ -713,6 +772,10 @@ def _make_shadow_kernel(kind: str, k_prims: int = 0, mxu: bool = False,
         attrs = refs[12 : 12 + n_attr]
         occ_out = refs[12 + n_attr]
         mx = refs[13 + n_attr]
+        lane_grp = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) // k_prims
+            if pack > 1 else None
+        )
 
         def one_tile(row, u, _):
             s = pl.ds(u * px.shape[0] // tb, px.shape[0] // tb)
@@ -736,7 +799,8 @@ def _make_shadow_kernel(kind: str, k_prims: int = 0, mxu: bool = False,
                         _triangle_battery_mxu(pmat, dmat, attrs, c, k_prims)
                         < tf
                     )
-                return battery(rpx, rpy, rpz, rdx, rdy, rdz, tf, attrs, c)
+                rows = tuple(a[c][None, :] for a in attrs)
+                return battery(rpx, rpy, rpz, rdx, rdy, rdz, tf, rows)
 
             if not fw:
                 occ_out[s, :] = jnp.zeros((px.shape[0] // tb, 1), jnp.int32)
@@ -766,40 +830,59 @@ def _make_shadow_kernel(kind: str, k_prims: int = 0, mxu: bool = False,
 
                 jax.lax.while_loop(cond, body, jnp.int32(0))
             else:
-                # fused visits (fw per trip), occlusion bits carried (see
-                # the closest kernel's fused branch for the exactness
-                # argument; any-hit is order-insensitive so only the gates
-                # matter)
+                # fused visits (w = fw*pack per trip), occlusion bits
+                # carried. Per-battery any-reductions OR'd together, NOT
+                # an i1 concat: Mosaic cannot bitcast i1 vregs for the
+                # concatenate (caught on hardware by tpu_goldens.py;
+                # interpret mode accepts both). Any-hit is
+                # order-insensitive so the OR is identical; lane-packed
+                # groups mask ungated lanes off before the reduction.
+                w = fw * pack
+
                 def cond(state):
                     j = state[0]
                     return (j < n) & (entry[row, j] < mx[0, 0])
 
                 def body(state):
                     j, occv = state
-                    # per-block any-reductions OR'd together, NOT an i1
-                    # concat: Mosaic cannot bitcast i1 vregs for the
-                    # concatenate (caught on hardware by tpu_goldens.py;
-                    # interpret mode accepts both). Any-hit is
-                    # order-insensitive so the OR is identical.
-                    hit = jnp.any(battery_at(visit[row, j]), axis=1,
-                                  keepdims=True)
-                    for u2 in range(1, fw):
+                    cs, uses = [], []
+                    for u2 in range(w):
                         ju = jnp.minimum(j + u2, n - 1)
-                        use = (j + u2 < n) & (entry[row, ju] < mx[0, 0])
-                        hit = hit | (
-                            jnp.any(battery_at(visit[row, ju]), axis=1,
-                                    keepdims=True)
-                            & use
+                        cs.append(visit[row, ju])
+                        uses.append(
+                            None if u2 == 0
+                            else (j + u2 < n) & (entry[row, ju] < mx[0, 0])
                         )
+                    hit = None
+                    for b in range(fw):
+                        grp = cs[b * pack:(b + 1) * pack]
+                        gus = uses[b * pack:(b + 1) * pack]
+                        if pack == 1:
+                            hb = jnp.any(battery_at(grp[0]), axis=1,
+                                         keepdims=True)
+                            if gus[0] is not None:
+                                hb = hb & gus[0]
+                        else:
+                            rows = _pack_rows(attrs, grp, lane_grp, k_prims)
+                            occb = battery(rpx, rpy, rpz, rdx, rdy, rdz,
+                                           tf, rows)
+                            for g, gu in enumerate(gus):
+                                if gu is None:
+                                    continue
+                                occb = occb & (
+                                    jnp.logical_not(lane_grp == g) | gu
+                                )
+                            hb = jnp.any(occb, axis=1, keepdims=True)
+                        hit = hb if hit is None else (hit | hb)
                     hit = hit & ok
                     occv = jnp.where(hit, 1, occv)
 
-                    @pl.when(jax.lax.rem(j, 8) == 8 - fw)
+                    @pl.when(jax.lax.rem(j, 8) == (8 - w) % 8)
                     def _():
                         live = ok & (occv == 0)
                         mx[0, 0] = jnp.max(jnp.where(live, bound, -FLT_MAX))
 
-                    return j + fw, occv
+                    return j + w, occv
 
                 _, occv = jax.lax.while_loop(
                     cond, body,
@@ -835,10 +918,15 @@ def _stream_rows(kind: str) -> int:
     return -(-_N_ATTRS[kind] // 8) * 8
 
 
-def _stream_kernels(kind: str, k_prims: int, shadow: bool):
+STREAM_SLOTS = 2
+
+
+def _stream_kernels(kind: str, k_prims: int, shadow: bool,
+                    slots: int = None):
     battery = (_ANYHIT_BATTERIES if shadow else _BATTERIES)[kind]
     n_attr = _N_ATTRS[kind]
     f8 = _stream_rows(kind)
+    slots = STREAM_SLOTS if slots is None else slots
 
     def kernel(*refs):
         (nvis, visit, entry, root) = refs[:4]
@@ -881,26 +969,26 @@ def _stream_kernels(kind: str, k_prims: int, shadow: bool):
             return (j < n) & (entry[row, j] < mx[0, 0])
 
         def body(j):
-            slot = jax.lax.rem(j, 2)
+            slot = jax.lax.rem(j, slots)
             # prefetch the NEXT visit before blocking on the current one;
             # a prefetch past the early-exit point is consumed by the
             # post-loop cleanup wait (every start has a matching wait)
             @pl.when(j + 1 < n)
             def _():
-                dma(j + 1, 1 - slot).start()
+                dma(j + 1, jax.lax.rem(j + 1, slots)).start()
 
             dma(j, slot).wait()
             base = slot * f8
-            attrs = tuple(
+            rows = tuple(
                 buf[pl.ds(base + f, 1), :] for f in range(n_attr)
             )
             if shadow:
-                occ = battery(rpx, rpy, rpz, rdx, rdy, rdz, tf0, attrs, 0)
+                occ = battery(rpx, rpy, rpz, rdx, rdy, rdz, tf0, rows)
                 hit = jnp.any(occ, axis=1, keepdims=True) & ok
                 occ_out[:] = jnp.where(hit, 1, occ_out[:])
             else:
                 c = visit[row, j]
-                t = battery(rpx, rpy, rpz, rdx, rdy, rdz, attrs, 0)
+                t = battery(rpx, rpy, rpz, rdx, rdy, rdz, rows)
                 best = jnp.min(t, axis=1, keepdims=True)
                 lanes = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
                 arg = jnp.min(
@@ -930,7 +1018,7 @@ def _stream_kernels(kind: str, k_prims: int, shadow: bool):
         # drain the dangling prefetch (started for a trip that never ran)
         @pl.when(j_exit < n)
         def _():
-            dma(j_exit, jax.lax.rem(j_exit, 2)).wait()
+            dma(j_exit, jax.lax.rem(j_exit, slots)).wait()
 
     return kernel
 
@@ -1072,6 +1160,12 @@ def intersect_clustered_pallas(
     t_tiles = -(-(-(-num_rays // tile_r)) // 8) * 8
     rp = t_tiles * tile_r
     c, k = cp.num_clusters, cp.cluster_size
+    pack = 128 // k if k < 128 else 1
+    if pack > 1:
+        assert k * pack == 128, (k, "sub-128 cluster_size must divide 128")
+        assert not (mxu or stream), (
+            "lane-packed clusters exclude mxu/stream")
+        unroll = 1  # subsumed: the packed trip already covers `pack` visits
     valid = (
         jnp.ones((num_rays,), jnp.float32)
         if alive is None
@@ -1086,6 +1180,11 @@ def intersect_clustered_pallas(
     visit, entry, nvis = _plan_visits(cp, plan_in, t_tiles, tile_r, sort,
                                       interpret, plan, plan_block)
     attrs = _tables(cp)
+    if pack > 1:
+        # lane-TILE each [C, K] row to [C, 128] (K values repeated 128/K
+        # times) so a lane-packed battery assembles groups with plain
+        # scalar-gated selects — lane l of every group holds prim l % K
+        attrs = tuple(jnp.tile(a, (1, pack)) for a in attrs)
     attrs = _match_vma(attrs, ray_in[0])
     (root,) = _match_vma((_root_row(cp),), ray_in[0])
     n_attr = len(attrs)
@@ -1097,7 +1196,8 @@ def intersect_clustered_pallas(
                              memory_space=pltpu.SMEM)
     col = pl.BlockSpec((trav_block * tile_r, 1), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
-    table = pl.BlockSpec((c, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    table = pl.BlockSpec((c, k * pack), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
     if stream:
         packed = _match_vma((_tables_packed(cp),), ray_in[0])[0]
         tfar, prim = pl.pallas_call(
@@ -1112,15 +1212,16 @@ def intersect_clustered_pallas(
             ],
             scratch_shapes=[
                 pltpu.SMEM((1, 1), jnp.float32),
-                pltpu.VMEM((2 * _stream_rows(cp.kind), k), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((STREAM_SLOTS * _stream_rows(cp.kind), k), jnp.float32),
+                pltpu.SemaphoreType.DMA((STREAM_SLOTS,)),
             ],
             interpret=interpret,
             compiler_params=_COMPILER_PARAMS,
         )(nvis, visit, entry, root, *ray_in, packed)
     else:
         tfar, prim = pl.pallas_call(
-            _make_closest_kernel(cp.kind, k, mxu, unroll, fuse, trav_block),
+            _make_closest_kernel(cp.kind, k, mxu, unroll, fuse, trav_block,
+                                 pack),
             grid=(t_tiles // trav_block,),
             in_specs=[smem_row(1), smem_row(c), smem_row(c), root_spec]
             + [col] * 8 + [table] * n_attr,
@@ -1172,6 +1273,12 @@ def occluded_clustered_pallas(
     t_tiles = -(-(-(-num_rays // tile_r)) // 8) * 8
     rp = t_tiles * tile_r
     c, k = cp.num_clusters, cp.cluster_size
+    pack = 128 // k if k < 128 else 1
+    if pack > 1:
+        assert k * pack == 128, (k, "sub-128 cluster_size must divide 128")
+        assert not (mxu or stream), (
+            "lane-packed clusters exclude mxu/stream")
+        unroll = 1  # subsumed: the packed trip already covers `pack` visits
     valid = (tfar > 0.0).astype(jnp.float32)
     ray_in = _ray_cols(
         [(p.x, 1e30), (p.y, 1e30), (p.z, 1e30), (d.x, 1.0), (d.y, 1.0),
@@ -1180,6 +1287,8 @@ def occluded_clustered_pallas(
     visit, entry, nvis = _plan_visits(cp, ray_in, t_tiles, tile_r, sort,
                                       interpret, plan, plan_block)
     attrs = _tables(cp)
+    if pack > 1:
+        attrs = tuple(jnp.tile(a, (1, pack)) for a in attrs)
     attrs = _match_vma(attrs, ray_in[0])
     (root,) = _match_vma((_root_row(cp),), ray_in[0])
     n_attr = len(attrs)
@@ -1191,7 +1300,8 @@ def occluded_clustered_pallas(
                              memory_space=pltpu.SMEM)
     col = pl.BlockSpec((trav_block * tile_r, 1), lambda i: (i, 0),
                        memory_space=pltpu.VMEM)
-    table = pl.BlockSpec((c, k), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    table = pl.BlockSpec((c, k * pack), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
     if stream:
         packed = _match_vma((_tables_packed(cp),), ray_in[0])[0]
         occ = pl.pallas_call(
@@ -1203,15 +1313,16 @@ def occluded_clustered_pallas(
             out_shape=_out_struct((rp, 1), jnp.int32, ray_in[0]),
             scratch_shapes=[
                 pltpu.SMEM((1, 1), jnp.float32),
-                pltpu.VMEM((2 * _stream_rows(cp.kind), k), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((STREAM_SLOTS * _stream_rows(cp.kind), k), jnp.float32),
+                pltpu.SemaphoreType.DMA((STREAM_SLOTS,)),
             ],
             interpret=interpret,
             compiler_params=_COMPILER_PARAMS,
         )(nvis, visit, entry, root, *ray_in, packed)
     else:
         occ = pl.pallas_call(
-            _make_shadow_kernel(cp.kind, k, mxu, unroll, fuse, trav_block),
+            _make_shadow_kernel(cp.kind, k, mxu, unroll, fuse, trav_block,
+                                pack),
             grid=(t_tiles // trav_block,),
             in_specs=[smem_row(1), smem_row(c), smem_row(c), root_spec]
             + [col] * 8 + [table] * n_attr,
@@ -1350,6 +1461,8 @@ def occluded_clustered_pallas_compact(
 
 def table_bytes(cp: ClusteredPrims) -> int:
     """VMEM footprint of a pack's attribute tables if kept resident
-    ([C, K] f32 per attribute plane) — the quantity the accel dispatcher
-    compares against the streaming threshold."""
-    return cp.num_clusters * cp.cluster_size * _N_ATTRS[cp.kind] * 4
+    ([C, max(K,128)] f32 per attribute plane — sub-128 clusters are
+    lane-tiled to 128) — the quantity the accel dispatcher compares
+    against the streaming threshold."""
+    return (cp.num_clusters * max(cp.cluster_size, 128)
+            * _N_ATTRS[cp.kind] * 4)

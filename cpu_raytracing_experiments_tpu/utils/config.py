@@ -75,11 +75,13 @@ class RendererPolicy:
     # (1|2|4|8): fewer while-loop control round-trips per visit; each extra
     # visit stays gated on the sorted-entry early-exit test, so results are
     # bit-exact (tests/test_pallas_traverse.py)
-    pallas_fuse: object = False  # fused visits: False/0 serial, True/2
+    pallas_fuse: object = "auto"  # fused visits: False/0 serial, True/2
     # paired, 4 quad — that many clusters' batteries concatenate into one
     # [TILE_R, fuse*K] block (one min/min-iota reduction + one select
     # epilogue per TRIP) and the running hit state rides the while-loop
-    # carry instead of VMEM refs; bit-exact (excludes pallas_unroll > 1)
+    # carry instead of VMEM refs; bit-exact (excludes pallas_unroll > 1).
+    # 'auto' (default) picks 4 below K=256, else 2, and engages
+    # trav_block=8 — the measured-best schedule (benchmarks/RESULTS.md)
     pallas_trav_block: int = 1  # ray-tiles walked per traversal program
     # (1|8): 8 = one whole SMEM visit-list block per program, amortizing
     # per-program fixed cost (a zero-work traversal measures ~5 us/tile);
@@ -198,8 +200,10 @@ class RendererPolicy:
         ), self.light_sampling
         assert self.accumulation_buckets % 2 == 1, "median needs odd buckets"
         assert self.pallas_unroll in (1, 2, 4, 8), self.pallas_unroll
-        assert self.pallas_fuse in (False, True, 0, 2, 4), self.pallas_fuse
-        assert not (self.pallas_fuse and self.pallas_unroll != 1), (
+        assert self.pallas_fuse in (False, True, 0, 2, 4, "auto"), (
+            self.pallas_fuse)
+        assert not (self.pallas_fuse and self.pallas_fuse != "auto"
+                    and self.pallas_unroll != 1), (
             "pallas_fuse replaces the unroll schedule (fused visits)"
         )
         assert self.pallas_trav_block in (1, 8), self.pallas_trav_block
@@ -208,7 +212,10 @@ class RendererPolicy:
             None, "brute", "bvh", "grid", "clustered", "pallas"
         ), self.primary_accel
         if self.pallas_stream is True:
-            assert not (self.pallas_mxu or self.pallas_fuse
+            # 'auto' fuse is fine: it resolves to off for streaming packs
+            assert not (self.pallas_mxu
+                        or (self.pallas_fuse
+                            and self.pallas_fuse != "auto")
                         or self.pallas_unroll != 1
                         or self.pallas_trav_block != 1), (
                 "pallas_stream=True excludes mxu/fuse/unroll/trav_block "

@@ -293,8 +293,9 @@ def test_mxu_battery_matches_vpu():
     from cpu_raytracing_experiments_tpu.scene import accel as accel_mod
     from cpu_raytracing_experiments_tpu.scene import builders
 
+    # K=128: the MXU battery excludes lane-packed sub-128 clusters
     scene = accel_mod.with_pallas_clusters(
-        builders.mesh_scene(32, 32, subdivisions=3), cluster_size=64
+        builders.mesh_scene(32, 32, subdivisions=3), cluster_size=128
     )
     cp = scene.tri_clusters
     pv, dv = _rays(R=512)
@@ -392,12 +393,48 @@ def test_fuse_trav_block_triangles_and_seed():
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
 
 
+@pytest.mark.parametrize("K,fuse", [(32, False), (32, 4), (64, 2)])
+def test_lane_packed_sub128_clusters_bit_exact(K, fuse):
+    """Sub-128 cluster sizes lane-pack 128/K clusters per battery (tables
+    lane-tiled to 128, scalar-gated group selects): hits must be
+    BIT-identical to the K=128 kernel on the same primitives — the pack is
+    a pure battery-layout change (same per-pair algebra, same visit-order
+    (t, lane) tie-break through the packed lane ordering)."""
+    P = 512
+    centers = RNG.uniform(-5, 5, (P, 3)).astype(np.float32)
+    radii = RNG.uniform(0.1, 0.6, P).astype(np.float32)
+    rows = np.concatenate([centers, (radii ** 2)[:, None]], axis=1)
+
+    def mk(k):
+        return clustered.build_clusters(
+            centers - radii[:, None], centers + radii[:, None], rows,
+            num_clusters=P // k, kind="sphere",
+        )
+
+    cp128, cpk = mk(128), mk(K)
+    assert cpk.cluster_size == K
+    p, d = _rays(333)
+    t0, i0 = tk.intersect_clustered_pallas(cp128, p, d, tile_r=64,
+                                           interpret=True)
+    t1, i1 = tk.intersect_clustered_pallas(cpk, p, d, tile_r=64,
+                                           interpret=True, fuse=fuse)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    tf = jnp.where(i0 >= 0, t0 * 0.999, 12.0)
+    o0 = tk.occluded_clustered_pallas(cp128, p, d, tf, tile_r=64,
+                                      interpret=True)
+    o1 = tk.occluded_clustered_pallas(cpk, p, d, tf, tile_r=64,
+                                      interpret=True, fuse=fuse)
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+
 def test_stream_bit_exact_spheres():
     """HBM-streaming traversal (cluster tables DMA'd per visit into a
     double-buffered VMEM scratch) must be bit-exact vs the VMEM-resident
     default: same batteries, same visit order, same early-exit gates —
-    only the residence of the attribute rows changes."""
-    cp, _ = _sphere_setup(P=300)
+    only the residence of the attribute rows changes. K=128: streaming
+    excludes lane-packed sub-128 clusters (table rows live in HBM)."""
+    cp, _ = _sphere_setup(P=300, K=128)
     p, d = _rays(777)
     alive = jnp.asarray(RNG.random(777) > 0.25)
     t0, i0 = tk.intersect_clustered_pallas(
@@ -425,8 +462,8 @@ def test_stream_triangles_and_seed():
     rows = np.concatenate([v0, e1, e2], axis=1)
     mins = np.minimum(v0, np.minimum(v0 + e1, v0 + e2))
     maxs = np.maximum(v0, np.maximum(v0 + e1, v0 + e2))
-    cp = clustered.build_clusters(mins, maxs, rows, num_clusters=4,
-                                  kind="triangle")
+    cp = clustered.build_clusters(mins, maxs, rows, num_clusters=2,
+                                  kind="triangle")  # k=120 -> 128 (stream)
     p, d = _rays(333)
     seed = jnp.full((333,), 6.0)
     t0, i0 = tk.intersect_clustered_pallas(
