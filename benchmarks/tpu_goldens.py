@@ -96,7 +96,6 @@ def main():
     for name, (scene, p, size, base_img) in hw_imgs.items():
         for knobs, tag in (
             (dict(pallas_fuse=True, pallas_trav_block=8), "fuse,tb8"),
-            (dict(pallas_stream=True), "stream"),
         ):
             pv = dataclasses.replace(p, **knobs)
             r = Renderer(scene, pv, size, size)
@@ -108,6 +107,26 @@ def main():
                 "scene": name, "accel": f"pallas({tag})",
                 "bit_exact_vs_default": ok, "ok": ok,
             }), flush=True)
+    # HBM-streaming gate at a stream-ELIGIBLE pack: the K=64 scenes above
+    # are lane-packed, which clamps pallas_stream off (intersect._tile_for),
+    # so stream must be exercised on its own K=128 clustering — resident vs
+    # stream over the SAME cp must be bit-exact (this is the gate that
+    # caught the cross-program Baldwin-Weber FMA divergence fixed by
+    # ClusteredPrims.planes).
+    for name, (scene, p, size, _img) in hw_imgs.items():
+        s128 = accel_mod.with_pallas_clusters(scene, cluster_size=128)
+        imgs = []
+        for stream in (False, True):
+            pv = dataclasses.replace(p, pallas_stream=stream)
+            r = Renderer(s128, pv, size, size)
+            r.accumulate(SPP)
+            imgs.append(np.asarray(r.render(tonemap=False)))
+        ok = bool(np.array_equal(imgs[0], imgs[1]))
+        failures += not ok
+        print(json.dumps({
+            "scene": name, "accel": "pallas(stream,K=128)",
+            "bit_exact_vs_resident": ok, "ok": ok,
+        }), flush=True)
     failures += _early_exit_gate()
     sys.exit(1 if failures else 0)
 

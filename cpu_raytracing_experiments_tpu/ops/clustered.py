@@ -50,9 +50,42 @@ class ClusteredPrims:
     order: jnp.ndarray  # [C*K] int32 original prim id (-1 = padding)
     lo: Vec3  # [C] cluster AABB min
     hi: Vec3  # [C] cluster AABB max
+    # [C*K, 12] Baldwin-Weber plane attributes, precomputed ONCE in numpy at
+    # build time (triangles only; None for spheres). Storing the planes makes
+    # every downstream table layout (per-attr [C, K] planes, row-packed
+    # [C*F8, K] streaming tables) a pure bit-preserving reshape, so the
+    # resident and streaming Pallas traversal paths consume identical bits.
+    # Computing them traced instead lets XLA contract the FMAs differently
+    # per program/layout, which produced real ULP-level hit mismatches
+    # between the stream and resident kernels on hardware.
+    planes: jnp.ndarray = None
     num_clusters: int = 0
     cluster_size: int = 0
     kind: str = "sphere"
+
+
+def _bw_planes_np(packed: np.ndarray) -> np.ndarray:
+    """[C*K, 9] packed (v0, e1, e2) triangle rows -> [C*K, 12] Baldwin-Weber
+    plane attributes (n.xyz, d0, f1.xyz, g1, f2.xyz, g2), computed in numpy
+    float32 so the stored bits are the single canonical precompute (see
+    ClusteredPrims.planes). u(x) = f1.x + g1 with u(v0+e1)=1, u(v0+e2)=0 and
+    symmetrically for v. Degenerate / padding rows give n = 0, which the
+    battery's |den| mask rejects."""
+    r = packed.astype(np.float32)
+    v0, e1, e2 = r[:, 0:3], r[:, 3:6], r[:, 6:9]
+    n = np.cross(e1, e2).astype(np.float32)
+    nn = np.sum(n * n, axis=-1, dtype=np.float32)
+    inv = np.where(nn > 0.0,
+                   np.float32(1.0) / np.maximum(nn, np.float32(1e-38)),
+                   np.float32(0.0)).astype(np.float32)[:, None]
+    f1 = (np.cross(e2, n).astype(np.float32) * inv).astype(np.float32)
+    f2 = (-np.cross(e1, n).astype(np.float32) * inv).astype(np.float32)
+    d0 = np.sum(n * v0, axis=-1, dtype=np.float32)
+    g1 = -np.sum(f1 * v0, axis=-1, dtype=np.float32)
+    g2 = -np.sum(f2 * v0, axis=-1, dtype=np.float32)
+    return np.concatenate(
+        [n, d0[:, None], f1, g1[:, None], f2, g2[:, None]], axis=1
+    ).astype(np.float32)
 
 
 def _norm_k(k: int) -> int:
@@ -142,6 +175,8 @@ def build_clusters_sah(
     return ClusteredPrims(
         rows=jnp.asarray(packed),
         order=jnp.asarray(full_order.astype(np.int32)),
+        planes=(jnp.asarray(_bw_planes_np(packed))
+                if kind == "triangle" else None),
         lo=Vec3(*[jnp.asarray(c_lo[:, i]) for i in range(3)]),
         hi=Vec3(*[jnp.asarray(c_hi[:, i]) for i in range(3)]),
         num_clusters=num_clusters,
@@ -207,6 +242,8 @@ def build_clusters(
     return ClusteredPrims(
         rows=jnp.asarray(packed),
         order=jnp.asarray(full_order.astype(np.int32)),
+        planes=(jnp.asarray(_bw_planes_np(packed))
+                if kind == "triangle" else None),
         lo=Vec3(*[jnp.asarray(c_lo[:, i]) for i in range(3)]),
         hi=Vec3(*[jnp.asarray(c_hi[:, i]) for i in range(3)]),
         num_clusters=num_clusters,

@@ -60,6 +60,12 @@ def _tile_for(kw: dict, cp) -> dict:
                   kw.get("trav_block"))
     if kw.get("stream") == "auto":
         kw = dict(kw, stream=_tk.table_bytes(cp) > PALLAS_STREAM_BYTES)
+    if cp.cluster_size < 128:
+        # lane-packed sub-128 clusters use lane-tiled tables the streaming
+        # DMA and MXU batteries don't support — and such packs are tiny, so
+        # residency is free; clamp rather than assert so a global
+        # pallas_stream/pallas_mxu policy composes with mixed pack sizes
+        kw = dict(kw, stream=False, mxu=False)
     if kw.get("stream"):
         kw = dict(kw, mxu=False, fuse=False, unroll=1, trav_block=1)
     return kw

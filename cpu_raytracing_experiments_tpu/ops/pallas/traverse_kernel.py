@@ -1042,14 +1042,20 @@ def _tables_packed(cp: ClusteredPrims):
 # ---------------------------------------------------------------------------
 def _tables(cp: ClusteredPrims):
     """[C*K, F] packed rows -> per-attribute [C, K] planes (free reshape).
-    Triangles are converted from the stored (v0, e1, e2) rows to the
-    Baldwin-Weber plane form (n, d0, u-row, v-row) — per-prim math that is
-    loop-invariant, so XLA hoists it out of the bounce loop; degenerate /
-    padding rows yield n = 0, which the battery's |den| mask rejects."""
+    Triangles use the Baldwin-Weber plane form (n, d0, u-row, v-row): when
+    the cluster build stored precomputed planes (ClusteredPrims.planes —
+    the canonical bit pattern; see clustered._bw_planes_np) this is a pure
+    layout transform, so the resident and streaming kernels consume
+    identical bits. The traced fallback below (for hand-built cps without
+    planes) computes the same math in-program; degenerate / padding rows
+    yield n = 0, which the battery's |den| mask rejects."""
     c, k = cp.num_clusters, cp.cluster_size
     rows = cp.rows.reshape(c, k, -1)
     if cp.kind != "triangle":
         return tuple(rows[:, :, f] for f in range(rows.shape[2]))
+    if cp.planes is not None:
+        pr = cp.planes.reshape(c, k, 12)
+        return tuple(pr[:, :, f] for f in range(12))
     v0 = rows[:, :, 0:3]
     e1 = rows[:, :, 3:6]
     e2 = rows[:, :, 6:9]
