@@ -92,9 +92,12 @@ def _norm_k(k: int) -> int:
     """Normalize a cluster size: sub-128 sizes round up to the next power
     of two so they divide the 128-lane vreg width — the Pallas traversal
     kernels lane-pack 128/K sub-128 clusters per battery and need
-    K * pack == 128 exactly."""
+    K * pack == 128 exactly. Sizes >= 128 round up to a multiple of 128 so
+    every battery is a whole number of full-width lanes; Mosaic rejects the
+    streaming kernel's [F8, K] DMA blocks at fractional lane widths (a
+    derived K=254 from build_clusters(P=20000, C=79) failed to compile)."""
     if k >= 128:
-        return k
+        return -(-k // 128) * 128
     return 1 << max(0, (k - 1)).bit_length()
 
 
