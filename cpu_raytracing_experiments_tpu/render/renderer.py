@@ -694,6 +694,39 @@ def _emissive_hit(
     return contribution.where(is_emissive, zero)
 
 
+def _pack_f32_cols(arrs):
+    """Stack same-length 1-D arrays of mixed dtype into one [R, F] f32
+    matrix (u32/i32 bitcast, bool widened). TPU moves indexed ROWS at full
+    bandwidth but flat 1-D gathers/scatters near one element per cycle —
+    packing turns F slow ops into one fast one. Returns (matrix, spec) for
+    _unpack_f32_cols."""
+    cols, spec = [], []
+    for a in arrs:
+        if a.dtype == jnp.float32:
+            cols.append(a)
+            spec.append("f32")
+        elif a.dtype == jnp.bool_:
+            cols.append(a.astype(jnp.float32))
+            spec.append("bool")
+        else:
+            cols.append(jax.lax.bitcast_convert_type(a, jnp.float32))
+            spec.append(a.dtype)
+    return jnp.stack(cols, axis=1), spec
+
+
+def _unpack_f32_cols(mat, spec):
+    out = []
+    for i, s in enumerate(spec):
+        c = mat[:, i]
+        if s == "f32":
+            out.append(c)
+        elif s == "bool":
+            out.append(c > 0.5)
+        else:
+            out.append(jax.lax.bitcast_convert_type(c, s))
+    return out
+
+
 def trace_rays(
     scene: Scene,
     policy: RendererPolicy,
@@ -799,10 +832,8 @@ def trace_rays(
             if 0 < cap < (caps[-1] if caps else num_rays):
                 caps.append(cap)
     if caps:
-        from ..ops.pallas.traverse_kernel import compact_order
-
         cur, cur_seeds, cur_acc = init, seeds, accumulation
-        scatters = []
+        restores = []
         for cap in caps:
             def cond_s(state: PathState, cap=cap):
                 return (state.bounce < policy.max_bounces) & (
@@ -813,33 +844,69 @@ def trace_rays(
                 return bounce_step(scene, policy, a, s, state)
 
             mid = jax.lax.while_loop(cond_s, body_s, cur)
-            order, _ = compact_order(mid.alive)
-            idx = order[:cap]
-            wid = mid.p.x.shape[0]
-
-            def take(a, idx=idx, wid=wid):
-                if getattr(a, "ndim", 0) >= 1 and a.shape[0] == wid:
-                    return a[idx]
-                return a
-
-            scatters.append((idx, mid.radiance))
-            cur = jax.tree.map(take, mid)
-            cur_seeds = cur_seeds[idx]
+            # Stable compaction rank: alive lanes first, survivors keep
+            # their screen-tile order. The whole per-lane state moves in
+            # ONE [R, F] row-scatter into the [cap, F] target (out-of-cap
+            # rows drop) — flat [R] gathers/scatters on TPU run near one
+            # element per cycle, so the previous per-leaf compaction (16
+            # flat gathers + an order-building scatter) cost ~10 ms/pass
+            # at 147k lanes where this packed form is ~0.5 ms.
+            ai = mid.alive.astype(jnp.int32)
+            n_alive = jnp.sum(ai)
+            inv = jnp.where(
+                mid.alive,
+                jnp.cumsum(ai) - 1,
+                n_alive + jnp.cumsum(1 - ai) - 1,
+            ).astype(jnp.int32)
+            lanes = [
+                mid.p.x, mid.p.y, mid.p.z,
+                mid.d.x, mid.d.y, mid.d.z,
+                mid.throughput.x, mid.throughput.y, mid.throughput.z,
+                mid.radiance.x, mid.radiance.y, mid.radiance.z,
+                mid.prev_pdf, mid.prev_delta, mid.alive, cur_seeds,
+            ]
             if getattr(cur_acc, "ndim", 0) >= 1:
                 # per-lane accumulation indices (render_pass k_passes > 1)
                 # narrow together with the lanes they key
-                cur_acc = cur_acc[idx]
+                lanes.append(cur_acc)
+            mat, spec = _pack_f32_cols(lanes)
+            comp = jnp.zeros((cap, mat.shape[1]), jnp.float32).at[inv].set(
+                mat, mode="drop", unique_indices=True
+            )
+            vals = _unpack_f32_cols(comp, spec)
+            cur = PathState(
+                bounce=mid.bounce,
+                p=Vec3(*vals[0:3]),
+                d=Vec3(*vals[3:6]),
+                throughput=Vec3(*vals[6:9]),
+                radiance=Vec3(*vals[9:12]),
+                prev_pdf=vals[12],
+                prev_delta=vals[13],
+                alive=vals[14],
+                ray_count=mid.ray_count,
+            )
+            cur_seeds = vals[15]
+            if getattr(cur_acc, "ndim", 0) >= 1:
+                cur_acc = vals[16]
+            restores.append((inv, cap, mid.radiance))
 
         def body_f(state: PathState) -> PathState:
             return bounce_step(scene, policy, cur_acc, cur_seeds, state)
 
         fin = jax.lax.while_loop(cond, body_f, cur)
         radiance = fin.radiance
-        for idx, prev_rad in reversed(scatters):
+        for inv, cap, prev_rad in reversed(restores):
+            # expand back: lane i was compacted to narrow row inv[i] (when
+            # inv[i] < cap) — read its final radiance from there with one
+            # [R, 3] row-gather; dropped lanes keep their full-width value.
+            # Identical to the old prev.at[order[:cap]].set(narrow).
+            nmat = jnp.stack([radiance.x, radiance.y, radiance.z], axis=1)
+            back = nmat[jnp.minimum(inv, cap - 1)]
+            live = inv < cap
             radiance = Vec3(
-                prev_rad.x.at[idx].set(radiance.x),
-                prev_rad.y.at[idx].set(radiance.y),
-                prev_rad.z.at[idx].set(radiance.z),
+                jnp.where(live, back[:, 0], prev_rad.x),
+                jnp.where(live, back[:, 1], prev_rad.y),
+                jnp.where(live, back[:, 2], prev_rad.z),
             )
         if res_in is not None:
             return radiance, fin.ray_count, res_out
@@ -1087,6 +1154,11 @@ def render_pass(
     perm = None if perm_np is None else jnp.asarray(perm_np)
     r_in_pass = ray % jnp.uint32(per_pass) if k_passes > 1 else ray
     pos = r_in_pass // jnp.uint32(spp)
+    # NOTE: local stays a device gather (perm[pos]) even though the
+    # permutation is static — baking it into a literal lets XLA
+    # constant-fold the camera math with different FMA contraction,
+    # breaking tile-vs-raster bit-identity (1-ULP radiance diffs, caught
+    # by test_ray_order_bit_identical)
     local = perm[pos] if perm is not None else pos
     i = jnp.asarray(pixel_start, jnp.uint32) + local
     sample = r_in_pass % jnp.uint32(spp)
@@ -1183,12 +1255,19 @@ def render_pass(
         )
     inv = None
     if perm is not None:
-        # back to raster pixel order (gather by the inverse permutation)
+        # back to raster pixel order — one packed [npix, C] row-gather by
+        # the static inverse permutation (three flat [npix] gathers cost
+        # ~1 ms each at 147k on TPU; the row form is ~0.1 ms)
         inv = jnp.asarray(np.argsort(perm_np).astype(np.uint32))
         if k_passes > 1:
-            flat = Vec3(flat.x[:, inv], flat.y[:, inv], flat.z[:, inv])
+            m = jnp.concatenate(
+                [flat.x.T, flat.y.T, flat.z.T], axis=1
+            )[inv]  # [npix, 3k]
+            k = k_passes
+            flat = Vec3(m[:, :k].T, m[:, k:2 * k].T, m[:, 2 * k:].T)
         else:
-            flat = Vec3(flat.x[inv], flat.y[inv], flat.z[inv])
+            m = jnp.stack([flat.x, flat.y, flat.z], axis=1)[inv]
+            flat = Vec3(m[:, 0], m[:, 1], m[:, 2])
     if use_restir:
         # reservoirs back to per-pixel raster order (first sample per pixel)
         rs = [a.reshape(npix, spp)[:, 0] if spp > 1 else a for a in res_flat]
