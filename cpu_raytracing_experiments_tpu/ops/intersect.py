@@ -74,13 +74,15 @@ def _tile_for(kw: dict, cp) -> dict:
 def _pallas_kw(policy) -> dict:
     """pallas_* knobs from a RendererPolicy (defaults when policy is None)."""
     if policy is None:
-        return {"tile_r": _tk.DEFAULT_TILE_R, "sort": True, "compact": False,
+        return {"tile_r": _tk.DEFAULT_TILE_R, "sort": True,
+                "sort_impl": "kernel", "compact": False,
                 "interpret": False, "mxu": False, "plan": "ray",
                 "plan_block": 8, "unroll": 1, "fuse": "auto", "trav_block": 1,
                 "stream": "auto"}
     return {
         "tile_r": policy.pallas_tile_rays,
         "sort": policy.pallas_sort_visits,
+        "sort_impl": policy.pallas_sort_impl,
         "compact": policy.pallas_compact,
         "interpret": policy.pallas_interpret,
         "mxu": policy.pallas_mxu,

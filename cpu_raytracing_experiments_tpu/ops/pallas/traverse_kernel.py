@@ -417,19 +417,33 @@ def _make_plan_kernel_hybrid(c_real: int, tile_r: int, ppb: int = 8):
     return kernel
 
 
-def _make_plan_kernel(c_real: int, tile_r: int, ppb: int = 8):
+def _make_plan_kernel(c_real: int, tile_r: int, ppb: int = 8,
+                      sort_in_kernel: bool = False):
     """One program plans `ppb` consecutive tiles (output blocks must be
     8-sublane-divisible, so ppb is a multiple of 8); the per-tile reduce is
     a fori static-slice loop — no in-kernel reshape across the sublane dim.
     Larger ppb amortizes per-program fixed cost (block copies, grid
     bookkeeping) over more tiles — the planner measured ~4.8 us/tile of
-    fixed overhead vs ~0.3 us of battery at the 20k config."""
+    fixed overhead vs ~0.3 us of battery at the 20k config.
+
+    `sort_in_kernel` additionally front-to-back sorts each tile's entry
+    row in-register (vectorized selection sort over 8 tile-rows at once)
+    and emits (entry_sorted, visit_ids) — replacing the XLA
+    argsort + take_along_axis tail, which cost more than the broad phase
+    itself (~2-3 ms per traversal call at 147k rays: TPU sorts and flat
+    gathers run near one element per cycle). The selection loop runs
+    max(nvis) steps (one vector->SMEM->scalar crossing per 8-row group),
+    so cost scales with visits actually planned, not O(C^2)."""
 
     def kernel(*refs):
         slabs = refs[:6]
         (px, py, pz, dx, dy, dz, tf, valid) = refs[6:14]
-        out = refs[14]
-        cpad = out.shape[1]
+        if sort_in_kernel:
+            out_e, out_v, ns = refs[14], refs[15], refs[16]
+            cpad = out_e.shape[1]
+        else:
+            out = refs[14]
+            cpad = out.shape[1]
         sub = jax.lax.broadcasted_iota(jnp.int32, (8, cpad), 0)
 
         def body(i, acc):
@@ -455,14 +469,50 @@ def _make_plan_kernel(c_real: int, tile_r: int, ppb: int = 8):
                 g * 8, g * 8 + 8, body,
                 jnp.zeros((8, cpad), jnp.float32),
             )
-            out[pl.ds(g * 8, 8), :] = acc
+            if not sort_in_kernel:
+                out[pl.ds(g * 8, 8), :] = acc
+                continue
+            # Selection sort, all 8 tile-rows in lockstep, pure vector ops:
+            # per step, min + first-match min-iota lane, write column k of
+            # the sorted outputs by lane mask, retire the winning lane.
+            # Tie-break (lowest cluster id first) matches jnp.argsort's
+            # stable order bit-for-bit. Rows exhausted before nmax steps
+            # keep emitting FLT_MAX columns — beyond their nvis, unread.
+            gidx = jax.lax.broadcasted_iota(jnp.int32, (8, cpad), 1)
+            nvis8 = jnp.sum((acc < FLT_MAX).astype(jnp.int32), axis=1,
+                            keepdims=True)
+            ns[0, 0] = jnp.max(nvis8)
+
+            def step(k, st):
+                e, se, sv = st
+                m = jnp.min(e, axis=1, keepdims=True)
+                a = jnp.min(
+                    jnp.where(e == jnp.broadcast_to(m, e.shape), gidx,
+                              jnp.int32(1 << 30)),
+                    axis=1, keepdims=True,
+                )
+                sel = gidx == k
+                se = jnp.where(sel, jnp.broadcast_to(m, se.shape), se)
+                sv = jnp.where(sel, jnp.broadcast_to(a, sv.shape), sv)
+                e = jnp.where(gidx == jnp.broadcast_to(a, e.shape),
+                              FLT_MAX, e)
+                return e, se, sv
+
+            _, se, sv = jax.lax.fori_loop(
+                0, ns[0, 0], step,
+                (acc,
+                 jnp.full((8, cpad), FLT_MAX, jnp.float32),
+                 jnp.zeros((8, cpad), jnp.int32)),
+            )
+            out_e[pl.ds(g * 8, 8), :] = se
+            out_v[pl.ds(g * 8, 8), :] = sv
 
     return kernel
 
 
 def _plan_visits(cp: ClusteredPrims, ray_in, t_tiles: int, tile_r: int,
                  sort: bool, interpret: bool, plan: str = "ray",
-                 plan_block: int = 8):
+                 plan_block: int = 8, sort_impl: str = "kernel"):
     """Per ray-tile broad phase. Returns (visit [T,C] i32 cluster ids sorted
     near-to-far, entry [T,C] f32 sorted tile-min entry distances (FLT_MAX
     past the end), nvis [T,1] i32). T must be a multiple of 8 (both this
@@ -472,6 +522,11 @@ def _plan_visits(cp: ClusteredPrims, ray_in, t_tiles: int, tile_r: int,
     Rays whose tfar is 0 (masked shadow lanes, dead wavefront lanes,
     padding) plan no visits; a tile of only such rays is skipped entirely
     by the traversal kernel.
+
+    `sort_impl='kernel'` (default; requires sort=True and the 'ray'
+    planner) sorts inside the planner program — bit-identical output to
+    the XLA path ('xla': argsort + take_along_axis), which costs ~2-3 ms
+    per traversal call at 147k rays against ~0.1 ms in-kernel.
     """
     c = cp.num_clusters
     ppb = plan_block
@@ -483,6 +538,27 @@ def _plan_visits(cp: ClusteredPrims, ray_in, t_tiles: int, tile_r: int,
     slab_spec = pl.BlockSpec((8, cpad), lambda i: (0, 0), memory_space=pltpu.VMEM)
     colb = pl.BlockSpec((ppb * tile_r, 1), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
+    if sort and sort_impl == "kernel" and plan == "ray":
+        out_spec = pl.BlockSpec((ppb, cpad), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        entry_s, visit = pl.pallas_call(
+            _make_plan_kernel(c, tile_r, ppb, sort_in_kernel=True),
+            grid=(t_tiles // ppb,),
+            in_specs=[slab_spec] * 6 + [colb] * 8,
+            out_specs=[out_spec, out_spec],
+            out_shape=[
+                _out_struct((t_tiles, cpad), jnp.float32, ray_in[0]),
+                _out_struct((t_tiles, cpad), jnp.int32, ray_in[0]),
+            ],
+            scratch_shapes=[pltpu.SMEM((1, 1), jnp.int32)],
+            interpret=interpret,
+            compiler_params=_COMPILER_PARAMS,
+        )(*slabs, *ray_in)
+        entry_sorted = entry_s[:, :c]
+        order = visit[:, :c]
+        nvis = jnp.sum((entry_sorted < FLT_MAX).astype(jnp.int32), axis=1,
+                       keepdims=True)
+        return order, entry_sorted, nvis
     maker = {
         "tilebox": _make_plan_kernel_tilebox,
         "hybrid": _make_plan_kernel_hybrid,
@@ -1125,7 +1201,7 @@ def _ray_cols(arrs, rp):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile_r", "sort", "interpret", "mxu", "plan",
+    static_argnames=("tile_r", "sort", "sort_impl", "interpret", "mxu", "plan",
                      "plan_block", "unroll", "fuse", "trav_block", "stream"),
 )
 def intersect_clustered_pallas(
@@ -1136,6 +1212,7 @@ def intersect_clustered_pallas(
     alive: Optional[jnp.ndarray] = None,
     tile_r: int = DEFAULT_TILE_R,
     sort: bool = True,
+    sort_impl: str = "kernel",
     interpret: bool = False,
     mxu: bool = False,
     plan: str = "ray",
@@ -1184,7 +1261,7 @@ def intersect_clustered_pallas(
     )
     plan_in = ray_in[:6] + _ray_cols([(plan_tf, 0.0), (valid, 0.0)], rp)
     visit, entry, nvis = _plan_visits(cp, plan_in, t_tiles, tile_r, sort,
-                                      interpret, plan, plan_block)
+                                      interpret, plan, plan_block, sort_impl)
     attrs = _tables(cp)
     if pack > 1:
         # lane-TILE each [C, K] row to [C, 128] (K values repeated 128/K
@@ -1248,7 +1325,7 @@ def intersect_clustered_pallas(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile_r", "sort", "interpret", "mxu", "plan",
+    static_argnames=("tile_r", "sort", "sort_impl", "interpret", "mxu", "plan",
                      "plan_block", "unroll", "fuse", "trav_block", "stream"),
 )
 def occluded_clustered_pallas(
@@ -1258,6 +1335,7 @@ def occluded_clustered_pallas(
     tfar: jnp.ndarray,
     tile_r: int = DEFAULT_TILE_R,
     sort: bool = True,
+    sort_impl: str = "kernel",
     interpret: bool = False,
     mxu: bool = False,
     plan: str = "ray",
@@ -1291,7 +1369,7 @@ def occluded_clustered_pallas(
          (d.z, 1.0), (tfar, 0.0), (valid, 0.0)], rp,
     )
     visit, entry, nvis = _plan_visits(cp, ray_in, t_tiles, tile_r, sort,
-                                      interpret, plan, plan_block)
+                                      interpret, plan, plan_block, sort_impl)
     attrs = _tables(cp)
     if pack > 1:
         attrs = tuple(jnp.tile(a, (1, pack)) for a in attrs)
@@ -1414,12 +1492,12 @@ def _gather_vec3_padded(v: Vec3, idx, r, padval) -> Vec3:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile_r", "sort", "interpret", "seg_len", "mxu", "plan",
+    static_argnames=("tile_r", "sort", "sort_impl", "interpret", "seg_len", "mxu", "plan",
                      "plan_block", "unroll", "fuse", "trav_block", "stream"),
 )
 def intersect_clustered_pallas_compact(
     cp, p, d, alive, tfar0=None, tile_r: int = DEFAULT_TILE_R,
-    sort: bool = True, interpret: bool = False,
+    sort: bool = True, sort_impl: str = "kernel", interpret: bool = False,
     seg_len: int = DEFAULT_SEG_LEN, mxu: bool = False, plan: str = "ray",
     plan_block: int = 8, unroll: int = 1, fuse: bool = False,
     trav_block: int = 1, stream: bool = False,
@@ -1432,8 +1510,8 @@ def intersect_clustered_pallas_compact(
         _gather_vec3_padded(d, order, r, 1.0),
         tfar0=None if tfar0 is None else _pad1(tfar0, rp - r, 0.0)[order],
         alive=_pad1(alive, rp - r, False)[order],
-        tile_r=tile_r, sort=sort, interpret=interpret, mxu=mxu, plan=plan,
-        plan_block=plan_block, unroll=unroll, fuse=fuse,
+        tile_r=tile_r, sort=sort, sort_impl=sort_impl, interpret=interpret,
+        mxu=mxu, plan=plan, plan_block=plan_block, unroll=unroll, fuse=fuse,
         trav_block=trav_block, stream=stream,
     )
     return tfar[inv[:r]], prim[inv[:r]]
@@ -1441,12 +1519,13 @@ def intersect_clustered_pallas_compact(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tile_r", "sort", "interpret", "seg_len", "mxu", "plan",
+    static_argnames=("tile_r", "sort", "sort_impl", "interpret", "seg_len", "mxu", "plan",
                      "plan_block", "unroll", "fuse", "trav_block", "stream"),
 )
 def occluded_clustered_pallas_compact(
     cp, p, d, tfar, tile_r: int = DEFAULT_TILE_R, sort: bool = True,
-    interpret: bool = False, seg_len: int = DEFAULT_SEG_LEN,
+    sort_impl: str = "kernel", interpret: bool = False,
+    seg_len: int = DEFAULT_SEG_LEN,
     mxu: bool = False, plan: str = "ray", plan_block: int = 8,
     unroll: int = 1, fuse: bool = False, trav_block: int = 1,
     stream: bool = False,
@@ -1458,8 +1537,8 @@ def occluded_clustered_pallas_compact(
         _gather_vec3_padded(p, order, r, 1e30),
         _gather_vec3_padded(d, order, r, 1.0),
         _pad1(tfar, rp - r, 0.0)[order],
-        tile_r=tile_r, sort=sort, interpret=interpret, mxu=mxu, plan=plan,
-        plan_block=plan_block, unroll=unroll, fuse=fuse,
+        tile_r=tile_r, sort=sort, sort_impl=sort_impl, interpret=interpret,
+        mxu=mxu, plan=plan, plan_block=plan_block, unroll=unroll, fuse=fuse,
         trav_block=trav_block, stream=stream,
     )
     return occ[inv[:r]]

@@ -61,6 +61,11 @@ class RendererPolicy:
     # int | 'auto' = 128 below 512 clusters, else 256 (mesh_ab measured:
     # 20k tris C=232 tile=128 wins +8%, 100k tris C=1134 tile=256 wins +7%)
     pallas_sort_visits: bool = True  # front-to-back per-tile cluster order
+    pallas_sort_impl: str = "kernel"  # where the per-tile visit order is
+    # built: 'kernel' = vectorized selection sort inside the planner pallas
+    # program (bit-identical, ~20x cheaper); 'xla' = argsort +
+    # take_along_axis outside (the measured-slow reference path, kept for
+    # A/B and for the tilebox/hybrid planners, which always use it)
     pallas_compact: bool = False  # alive-first ray compaction before traversal
     # (measured SLOWER on v5e: the gather/scatter of ray SoA costs ~25 ms per
     # traversal at 262k rays; per-ray-masked visit planning already skips
@@ -200,6 +205,8 @@ class RendererPolicy:
         ), self.light_sampling
         assert self.accumulation_buckets % 2 == 1, "median needs odd buckets"
         assert self.pallas_unroll in (1, 2, 4, 8), self.pallas_unroll
+        assert self.pallas_sort_impl in ("kernel", "xla"), (
+            self.pallas_sort_impl)
         assert self.pallas_fuse in (False, True, 0, 2, 4, "auto"), (
             self.pallas_fuse)
         assert not (self.pallas_fuse and self.pallas_fuse != "auto"
