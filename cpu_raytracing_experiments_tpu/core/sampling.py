@@ -220,10 +220,19 @@ def pow5(x):
     return x * t
 
 
-def fresnel_schlick(f0: Vec3, h_dot_v) -> Vec3:
-    """Schlick Fresnel (Sampling.hpp:272-275)."""
+def fresnel_schlick(f0: Vec3, h_dot_v, f80: Vec3 | None = None) -> Vec3:
+    """Schlick Fresnel (Sampling.hpp:272-275), optionally two-point.
+
+    With `f80` the grazing reflectance is the material's F80 color instead of
+    white: F(theta) = lerp(f0, f80, (1-cos)^5). The reference declares F80 on
+    its Material (/root/reference/Primitives.hpp:22) and its scenes set it,
+    but no shader ever reads it; this consumes the field (policy.shade_f80).
+    f80=None reproduces the classic single-point Schlick.
+    """
     w = pow5(jnp.clip(1.0 - h_dot_v, 0.0, 1.0))
-    return f0 * (1.0 - w) + Vec3(w, w, w)
+    if f80 is None:
+        return f0 * (1.0 - w) + Vec3(w, w, w)
+    return f0 * (1.0 - w) + f80 * w
 
 
 def ggx_d(alpha2, n_dot_h2):
@@ -239,7 +248,9 @@ def smith_g2_lagarde(alpha2, n_dot_l, n_dot_v):
     return 0.5 / jnp.maximum(a + b, 1e-20)
 
 
-def microfacet_brdf(f0: Vec3, alpha, n_dot_v, n_dot_l, n_dot_h, h_dot_v) -> Vec3:
+def microfacet_brdf(
+    f0: Vec3, alpha, n_dot_v, n_dot_l, n_dot_h, h_dot_v, f80: Vec3 | None = None
+) -> Vec3:
     """NdotL * F*D*G2/(4 NdotL NdotV) (Sampling.hpp:293-296)."""
     alpha2 = alpha * alpha
     scalar = (
@@ -247,7 +258,7 @@ def microfacet_brdf(f0: Vec3, alpha, n_dot_v, n_dot_l, n_dot_h, h_dot_v) -> Vec3
         * ggx_d(jnp.maximum(1e-5, alpha2), n_dot_h * n_dot_h)
         * smith_g2_lagarde(alpha2, n_dot_l, n_dot_v)
     )
-    return fresnel_schlick(f0, h_dot_v) * scalar
+    return fresnel_schlick(f0, h_dot_v, f80) * scalar
 
 
 def g1_ggx(alpha2, n_dot_s2):
@@ -262,10 +273,14 @@ def smith_g2_over_g1(alpha2, n_dot_l, n_dot_v):
     return g1l / jnp.maximum(g1v + g1l - g1v * g1l, 1e-20)
 
 
-def vndf_estimator(f0: Vec3, alpha, n_dot_v, n_dot_l, h_dot_v) -> Vec3:
+def vndf_estimator(
+    f0: Vec3, alpha, n_dot_v, n_dot_l, h_dot_v, f80: Vec3 | None = None
+) -> Vec3:
     """F * G2/G1: the unbiased estimator of the VNDF-sampled GGX lobe
     (Sampling.hpp:307-309)."""
-    return fresnel_schlick(f0, h_dot_v) * smith_g2_over_g1(alpha * alpha, n_dot_l, n_dot_v)
+    return fresnel_schlick(f0, h_dot_v, f80) * smith_g2_over_g1(
+        alpha * alpha, n_dot_l, n_dot_v
+    )
 
 
 def ggx_vndf_pdf(alpha, n_dot_v, n_dot_h, h_dot_v):

@@ -24,6 +24,7 @@ REFERENCE_COMPAT = RendererPolicy(
     accel="brute",
     light_sampling="uniform",
     sky_bug_compat=True,
+    shade_f80=False,  # the reference never reads Material::F80
 )
 
 # Reference semantics with its bugs fixed (the default stance of this

@@ -50,13 +50,17 @@ def lambert_sample(albedo: Vec3, v_local: Vec3, u, v) -> BsdfSample:
 # ---------------------------------------------------------------------------
 # GGX via VNDF sampling (DataStreams.hpp:184-218)
 # ---------------------------------------------------------------------------
-def ggx_eval(f0: Vec3, alpha, l_local: Vec3, v_local: Vec3) -> Vec3:
+def ggx_eval(
+    f0: Vec3, alpha, l_local: Vec3, v_local: Vec3, f80: Vec3 | None = None
+) -> Vec3:
     n_dot_l = jnp.maximum(0.0, l_local.z)
     n_dot_v = jnp.maximum(0.0, v_local.z)
     h = (l_local + v_local).normalize()
     n_dot_h = jnp.maximum(0.0, h.z)
     h_dot_v = jnp.maximum(0.0, h.dot(v_local))
-    return sampling.microfacet_brdf(f0, alpha, n_dot_v, n_dot_l, n_dot_h, h_dot_v)
+    return sampling.microfacet_brdf(
+        f0, alpha, n_dot_v, n_dot_l, n_dot_h, h_dot_v, f80
+    )
 
 
 def ggx_pdf(alpha, l_local: Vec3, v_local: Vec3) -> jnp.ndarray:
@@ -68,7 +72,9 @@ def ggx_pdf(alpha, l_local: Vec3, v_local: Vec3) -> jnp.ndarray:
     return jnp.where(l_local.z > 0.0, pdf, 0.0)
 
 
-def ggx_sample(f0: Vec3, alpha, v_local: Vec3, u, v) -> BsdfSample:
+def ggx_sample(
+    f0: Vec3, alpha, v_local: Vec3, u, v, f80: Vec3 | None = None
+) -> BsdfSample:
     n_dot_v = jnp.maximum(0.0, v_local.z)
     # mirror special case at alpha == 0 (DataStreams.hpp:202-208)
     mirror_dir = Vec3(-v_local.x, -v_local.y, v_local.z)
@@ -79,7 +85,7 @@ def ggx_sample(f0: Vec3, alpha, v_local: Vec3, u, v) -> BsdfSample:
     direction = mirror_dir.where(is_mirror, rough_dir)
     h_dot_v = jnp.where(is_mirror, n_dot_v, jnp.maximum(0.0, h_dot_v_raw))
     n_dot_l = jnp.maximum(0.0, direction.z)
-    estimator = sampling.vndf_estimator(f0, alpha, n_dot_v, n_dot_l, h_dot_v)
+    estimator = sampling.vndf_estimator(f0, alpha, n_dot_v, n_dot_l, h_dot_v, f80)
     return BsdfSample(direction=direction, estimator=estimator)
 
 
@@ -109,11 +115,13 @@ def _lobe_weights(albedo: Vec3, f0: Vec3, transmission: Vec3):
     return w_d / total, w_s / total, w_t / total
 
 
-def principled_eval(albedo, f0, transmission, alpha, l_local, v_local) -> Vec3:
+def principled_eval(
+    albedo, f0, transmission, alpha, l_local, v_local, f80: Vec3 | None = None
+) -> Vec3:
     """Reflection-side eval for NEE: diffuse + rough specular. (Delta and
     transmission lobes never contribute to same-side direct light.)"""
     diff = lambert_eval(albedo, l_local, v_local)
-    spec = ggx_eval(f0, alpha, l_local, v_local)
+    spec = ggx_eval(f0, alpha, l_local, v_local, f80)
     spec_on = (alpha > 0.0) & (f0.max_component() > 0.0)
     zero = Vec3(jnp.zeros_like(alpha), jnp.zeros_like(alpha), jnp.zeros_like(alpha))
     return diff + spec.where(spec_on, zero)
@@ -145,6 +153,7 @@ def principled_sample(
     u,
     v,
     r_fresnel,
+    f80: Vec3 | None = None,
 ) -> PrincipledSample:
     """Stochastic-lobe sample. Draw order: lobe select, (u, v), fresnel."""
     w_d, w_s, w_t = _lobe_weights(albedo, f0, transmission)
@@ -157,7 +166,7 @@ def principled_sample(
     d_est = d_sample.estimator / jnp.maximum(w_d, 1e-6)
 
     # --- specular lobe ---
-    s_sample = ggx_sample(f0, alpha, v_local, u, v)
+    s_sample = ggx_sample(f0, alpha, v_local, u, v, f80)
     s_est = s_sample.estimator / jnp.maximum(w_s, 1e-6)
     s_delta = alpha == 0.0
 

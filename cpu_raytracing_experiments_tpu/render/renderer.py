@@ -212,10 +212,12 @@ def _closure_eval(policy, mat, l_local, v_local):
     if policy.brdf == "lambertian":
         return closures.lambert_eval(mat["albedo"], l_local, v_local)
     if policy.brdf == "ggx":
-        return closures.ggx_eval(mat["f0"], mat["alpha"], l_local, v_local)
+        return closures.ggx_eval(
+            mat["f0"], mat["alpha"], l_local, v_local, mat.get("f80")
+        )
     return closures.principled_eval(
         mat["albedo"], mat["f0"], mat["transmission"], mat["alpha"],
-        l_local, v_local,
+        l_local, v_local, mat.get("f80"),
     )
 
 
@@ -954,6 +956,12 @@ def bounce_step(scene, policy, accumulation, seeds, state: PathState,
                 mt.transmission.x, mt.transmission.y, mt.transmission.z,
                 mt.ior_minus_one,
             ]
+        # F80 grazing color: only the specular closures read it, and only
+        # when policy.shade_f80 (the reference declares but never shades it,
+        # Primitives.hpp:22 — shade_f80=False reproduces that).
+        shade_f80 = policy.shade_f80 and policy.brdf in ("ggx", "principled")
+        if shade_f80:
+            mat_cols += [mt.f80.x, mt.f80.y, mt.f80.z]
         mv = fast_gather.gather_cols(mat_id, *mat_cols)
         rough = mv[9]
         mat = {
@@ -962,9 +970,13 @@ def bounce_step(scene, policy, accumulation, seeds, state: PathState,
             "emission": Vec3(mv[6], mv[7], mv[8]),
             "alpha": rough * rough,
         }
+        k = 10
         if policy.brdf == "principled":
             mat["transmission"] = Vec3(mv[10], mv[11], mv[12])
             mat["ior"] = mv[13] + 1.0
+            k = 14
+        if shade_f80:
+            mat["f80"] = Vec3(mv[k], mv[k + 1], mv[k + 2])
 
         radiance = state.radiance
 
@@ -999,7 +1011,7 @@ def bounce_step(scene, policy, accumulation, seeds, state: PathState,
             psample = closures.principled_sample(
                 mat["albedo"], mat["f0"], mat["transmission"], mat["alpha"],
                 mat["ior"], ~backface, v_local, lobe_draw, u_draw, v_draw,
-                fres_draw,
+                fres_draw, mat.get("f80"),
             )
             bsdf_dir, bsdf_est = psample.direction, psample.estimator
             bsdf_delta = psample.is_delta
@@ -1008,7 +1020,10 @@ def bounce_step(scene, policy, accumulation, seeds, state: PathState,
             if policy.brdf == "lambertian":
                 bs = closures.lambert_sample(mat["albedo"], v_local, u_draw, v_draw)
             else:
-                bs = closures.ggx_sample(mat["f0"], mat["alpha"], v_local, u_draw, v_draw)
+                bs = closures.ggx_sample(
+                    mat["f0"], mat["alpha"], v_local, u_draw, v_draw,
+                    mat.get("f80"),
+                )
             bsdf_dir, bsdf_est = bs.direction, bs.estimator
             bsdf_delta = jnp.zeros_like(hit)
         new_throughput = state.throughput * bsdf_est

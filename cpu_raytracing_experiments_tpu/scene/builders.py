@@ -40,7 +40,10 @@ class _SceneBuilder:
         self,
         albedo=(0, 0, 0),
         f0=(0, 0, 0),
-        f80=(0, 0, 0),
+        # F80 defaults to white: classic Schlick (F -> 1 at grazing) is the
+        # degenerate two-point case, so materials that never set F80 shade
+        # identically whether policy.shade_f80 is on or off.
+        f80=(1, 1, 1),
         emission=(0, 0, 0),
         transmission=(0, 0, 0),
         roughness=0.0,

@@ -35,6 +35,11 @@ class RendererPolicy:
     brdf: str = "lambertian"  # 'lambertian' | 'ggx' (#define BRDF 0|1) |
     # 'principled' (full material model: diffuse + specular + transmission —
     # consumes the Material fields the reference declares but never shades)
+    shade_f80: bool = True  # two-point Schlick Fresnel lerp(F0 -> F80) in the
+    # specular closures. The reference declares Material::F80 and its scenes
+    # set it (Primitives.hpp:22, Application.cpp:69-99) but no shader reads
+    # it; False reproduces that dead-field behavior (classic Schlick, F80
+    # treated as white).
     mis: bool = True  # #define MIS true
     light_sampling: str = "uniform"  # 'uniform' (reference, Renderer.hpp:259)
     # | 'power' — per-ray categorical selection proportional to emission x

@@ -296,9 +296,11 @@ def pow5(x):
     return x * t * t
 
 
-def fresnel(f0, hv):
+def fresnel(f0, hv, f80=None):
     w = pow5(min(max(1.0 - hv, 0.0), 1.0))
-    return f0 * (1.0 - w) + w
+    if f80 is None:
+        return f0 * (1.0 - w) + w
+    return f0 * (1.0 - w) + f80 * w
 
 
 def ggx_d(a2, ndh2):
@@ -322,14 +324,14 @@ def g2_over_g1(a2, ndl, ndv):
     return g1l / max(g1v + g1l - g1v * g1l, 1e-20)
 
 
-def ggx_eval(f0, alpha, l_local, v_local):
+def ggx_eval(f0, alpha, l_local, v_local, f80=None):
     ndl = max(0.0, l_local[2])
     ndv = max(0.0, v_local[2])
     h = normalize(l_local + v_local)
     ndh = max(0.0, h[2])
     hdv = max(0.0, float(np.dot(h, v_local)))
     a2 = alpha * alpha
-    return fresnel(f0, hdv) * (
+    return fresnel(f0, hdv, f80) * (
         ndl * ggx_d(max(1e-5, a2), ndh * ndh) * smith_g2_lagarde(a2, ndl, ndv)
     )
 
@@ -346,7 +348,7 @@ def ggx_pdf(alpha, l_local, v_local):
     return g1 * d / max(4.0 * ndv, 1e-6)
 
 
-def ggx_sample(f0, alpha, v_local, u, v):
+def ggx_sample(f0, alpha, v_local, u, v, f80=None):
     ndv = max(0.0, v_local[2])
     if alpha == 0.0:
         direction = np.array([-v_local[0], -v_local[1], v_local[2]])
@@ -357,7 +359,7 @@ def ggx_sample(f0, alpha, v_local, u, v):
         direction = 2.0 * hdv_raw * h - v_local
         hdv = max(0.0, hdv_raw)
     ndl = max(0.0, direction[2])
-    est = fresnel(f0, hdv) * g2_over_g1(alpha * alpha, ndl, ndv)
+    est = fresnel(f0, hdv, f80) * g2_over_g1(alpha * alpha, ndl, ndv)
     return direction, est
 
 
@@ -368,6 +370,9 @@ def trace_pixel_ggx(scene_np, x, y, accumulation, seed, max_bounces, width,
     radius_sq = scene_np["radius_sq"]
     mat_id = scene_np["mat_id"]
     f0s = scene_np["f0"]
+    # two-point Schlick (policy.shade_f80, the production default); absent
+    # key = classic Schlick (f80 -> white)
+    f80s = scene_np.get("f80")
     rough = scene_np["roughness"]
     emission = scene_np["emission"]
     lights = scene_np["lights"]
@@ -397,6 +402,7 @@ def trace_pixel_ggx(scene_np, x, y, accumulation, seed, max_bounces, width,
         m = mat_id[prim]
         alpha = rough[m] * rough[m]
         f0 = f0s[m]
+        f80 = None if f80s is None else f80s[m]
         hit_pt = p + d * tfar
         n = normalize(hit_pt - centers[prim])
         if np.dot(n, d) >= 0.0:
@@ -428,7 +434,7 @@ def trace_pixel_ggx(scene_np, x, y, accumulation, seed, max_bounces, width,
                     if l_local[2] >= 0.0:
                         shadow_rad = (
                             emission[mat_id[lp]] * throughput
-                            * ggx_eval(f0, alpha, l_local, v_local)
+                            * ggx_eval(f0, alpha, l_local, v_local, f80)
                         )
                         lpdf = lpdf * lsel_pdf
                         brdf_pdf = ggx_pdf(alpha, l_local, v_local)
@@ -451,7 +457,7 @@ def trace_pixel_ggx(scene_np, x, y, accumulation, seed, max_bounces, width,
 
         rb = Rng(hash_2d(accumulation, (seed + bounce * 2 + 1) & M32))
         u, v = rb.unit(), rb.unit()
-        local_dir, est = ggx_sample(f0, alpha, v_local, u, v)
+        local_dir, est = ggx_sample(f0, alpha, v_local, u, v, f80)
         new_thr = throughput * est
         q = 1.0 - new_thr.max()
         if rb.unit() < q:

@@ -39,6 +39,10 @@ def _scene_to_np(scene):
             [np.asarray(scene.materials.f0.x), np.asarray(scene.materials.f0.y),
              np.asarray(scene.materials.f0.z)], axis=1,
         ).astype(np.float64),
+        "f80": np.stack(
+            [np.asarray(scene.materials.f80.x), np.asarray(scene.materials.f80.y),
+             np.asarray(scene.materials.f80.z)], axis=1,
+        ).astype(np.float64),
         "roughness": np.asarray(scene.materials.roughness, np.float64),
         "lights": np.asarray(scene.lights),
         "ambient": np.array(

@@ -192,3 +192,29 @@ def test_fresnel_schlick_limits():
     assert abs(float(at0.x[0]) - 0.04) < 1e-6
     grazing = sampling.fresnel_schlick(f0, jnp.asarray([0.0], jnp.float32))
     assert abs(float(grazing.x[0]) - 1.0) < 1e-6
+
+
+def test_fresnel_two_point_f80():
+    """Two-point Schlick (policy.shade_f80): F(0)=f0, F(grazing)=f80, and
+    f80=white reduces to the classic single-point form."""
+    f0 = Vec3(jnp.float32(0.04), jnp.float32(0.5), jnp.float32(1.0))
+    f80 = Vec3(jnp.float32(0.9), jnp.float32(0.2), jnp.float32(0.6))
+    white = Vec3(jnp.float32(1.0), jnp.float32(1.0), jnp.float32(1.0))
+    # normal incidence: F = f0 regardless of f80
+    fn = sampling.fresnel_schlick(f0, jnp.float32(1.0), f80)
+    np.testing.assert_allclose(
+        [float(fn.x), float(fn.y), float(fn.z)], [0.04, 0.5, 1.0], atol=1e-6
+    )
+    # grazing: F = f80
+    fg = sampling.fresnel_schlick(f0, jnp.float32(0.0), f80)
+    np.testing.assert_allclose(
+        [float(fg.x), float(fg.y), float(fg.z)], [0.9, 0.2, 0.6], atol=1e-6
+    )
+    # f80 = white == classic Schlick at an intermediate angle
+    for hv in (0.1, 0.3, 0.7):
+        a = sampling.fresnel_schlick(f0, jnp.float32(hv), white)
+        b = sampling.fresnel_schlick(f0, jnp.float32(hv))
+        np.testing.assert_allclose(
+            [float(a.x), float(a.y), float(a.z)],
+            [float(b.x), float(b.y), float(b.z)], atol=1e-7,
+        )
