@@ -696,6 +696,23 @@ def _emissive_hit(
     return contribution.where(is_emissive, zero)
 
 
+def _pvary_to(a, vma_axes):
+    """Mark `a` device-varying along any of `vma_axes` it lacks. Freshly
+    created constants (jnp.zeros etc.) are replicated under
+    shard_map(check_vma=True); mixing them with varying operands trips the
+    vma type-check, so shard-local code paths cast them first. No-op
+    outside shard_map."""
+    if not vma_axes:
+        return a
+    have = getattr(jax.typeof(a), "vma", frozenset())
+    missing = tuple(ax for ax in vma_axes if ax not in have)
+    if not missing:
+        return a
+    if hasattr(jax.lax, "pcast"):
+        return jax.lax.pcast(a, missing, to="varying")
+    return jax.lax.pvary(a, missing)
+
+
 def _pack_f32_cols(arrs):
     """Stack same-length 1-D arrays of mixed dtype into one [R, F] f32
     matrix (u32/i32 bitcast, bool widened). TPU moves indexed ROWS at full
@@ -769,16 +786,7 @@ def trace_rays(
         # under shard_map the carry must be device-varying from the start
         # (replicated scene constants would otherwise flip the carry type
         # mid-loop); pcast marks each leaf varying along any axes it lacks.
-        def _pvary(a):
-            have = getattr(jax.typeof(a), "vma", frozenset())
-            missing = tuple(ax for ax in vma_axes if ax not in have)
-            if not missing:
-                return a
-            if hasattr(jax.lax, "pcast"):
-                return jax.lax.pcast(a, missing, to="varying")
-            return jax.lax.pvary(a, missing)
-
-        init = jax.tree.map(_pvary, init)
+        init = jax.tree.map(lambda a: _pvary_to(a, vma_axes), init)
 
     # Primary-bounce accel override (policy.primary_accel): camera rays are
     # screen-tile coherent, so tile-culled traversal can win at bounce 0
@@ -827,7 +835,12 @@ def trace_rays(
         # overhead (cumsum/scatter/gather chains per chunk).
         nw = nprims >= 64 or policy.effective_accel == "pallas"
     
-    if nw and not vma_axes:
+    if nw:
+        # Under shard_map this runs per shard: `shape` is the LOCAL lane
+        # count, the alive sums/cumsums are shard-local, and the compaction
+        # scatter/gather never crosses devices — each shard narrows its own
+        # wavefront independently (no collectives, so divergent per-shard
+        # while_loop trip counts are safe in SPMD).
         num_rays = shape[0]
         for f in policy.narrow_factors:
             cap = -(-(num_rays // f) // 2048) * 2048
@@ -872,9 +885,9 @@ def trace_rays(
                 # narrow together with the lanes they key
                 lanes.append(cur_acc)
             mat, spec = _pack_f32_cols(lanes)
-            comp = jnp.zeros((cap, mat.shape[1]), jnp.float32).at[inv].set(
-                mat, mode="drop", unique_indices=True
-            )
+            comp = _pvary_to(
+                jnp.zeros((cap, mat.shape[1]), jnp.float32), vma_axes
+            ).at[inv].set(mat, mode="drop", unique_indices=True)
             vals = _unpack_f32_cols(comp, spec)
             cur = PathState(
                 bounce=mid.bounce,

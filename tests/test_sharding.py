@@ -335,3 +335,27 @@ def test_sharded_pallas_stream_matches_single():
     a = np.asarray(single.render(tonemap=False))
     b = np.asarray(sr.render(tonemap=False))
     np.testing.assert_array_equal(a, b)
+
+
+def test_sharded_narrowing_engages_and_matches_single():
+    """The wavefront-narrowing cascade is shard-local (VERDICT r2 item 3):
+    with narrow_wavefront forced ON, each dp shard compacts its own lanes
+    and the sharded render stays BIT-identical to the single-device render
+    with the same policy. bvh_test (255 prims) keeps enough lanes alive
+    across bounces that every cascade stage actually executes."""
+    import dataclasses
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 devices")
+    sc = builders.bvh_test_scene(W, H)
+    pol = dataclasses.replace(
+        POL, narrow_wavefront=True, narrow_factors=(2, 8), rays_per_chunk=1024
+    )
+    r1 = Renderer(sc, pol, W, H)
+    r1.accumulate(10)
+    want = np.asarray(r1.state.buckets)
+    mesh = sharded.make_mesh(dp=4, sp=1, devices=jax.devices()[:4])
+    r2 = sharded.ShardedRenderer(sc, pol, W, H, mesh)
+    r2.accumulate(10)
+    got = np.asarray(r2.state.buckets).sum(axis=0)
+    np.testing.assert_array_equal(got, want)
