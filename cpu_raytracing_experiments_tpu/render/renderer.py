@@ -282,6 +282,20 @@ def _select_light(scene: Scene, policy: RendererPolicy, point: Vec3, f, light_co
             (f * jnp.float32(light_count)).astype(jnp.uint32),
         ).astype(jnp.int32)
         return sel, jnp.full_like(f, 1.0 / light_count)
+    if policy.light_sampling == "alias" and scene.light_alias is not None:
+        # O(1) in L: one alias-row gather picks the light AND its pdf (the
+        # table packs the alias bin's pdf beside its own). Static power
+        # weights (emission x size, no distance term) — the scalable mode
+        # for many-light scenes where 'power''s per-ray [R, L] matrix is
+        # the wall.
+        la = scene.light_alias
+        u = f * jnp.float32(light_count)
+        b = jnp.minimum(u.astype(jnp.int32), light_count - 1)
+        frac = u - b.astype(jnp.float32)
+        row = fast_gather.gather_rows(la.table, b)  # [R, 4]
+        take_bin = frac < row[:, 0]
+        sel = jnp.where(take_bin, b, row[:, 1].astype(jnp.int32))
+        return sel, jnp.where(take_bin, row[:, 2], row[:, 3])
     w = _light_selection_weights(scene, point)  # [R, L]
     total = jnp.sum(w, axis=1)
     ok = total > 0.0
@@ -308,6 +322,21 @@ def _hit_light_selection_pdf(scene, policy, state, prim_id, is_tri, light_count)
     under power-proportional selection."""
     if policy.light_sampling == "uniform" or light_count == 1:
         return 1.0 / light_count
+    if policy.light_sampling == "alias" and scene.light_alias is not None:
+        # position-independent selection pdf -> one per-prim gather (the
+        # LightAlias tables store each prim's pdf directly, 0 = not a
+        # light; non-light hits are masked by is_emissive upstream, so the
+        # uniform fallback value is never observable)
+        la = scene.light_alias
+        safe = jnp.maximum(prim_id, 0)
+        n_sp = int(la.sphere_pdf.shape[0])
+        p = la.sphere_pdf[jnp.minimum(safe, n_sp - 1)]
+        if la.tri_pdf is not None:
+            n_tp = int(la.tri_pdf.shape[0])
+            p = jnp.where(
+                is_tri, la.tri_pdf[jnp.minimum(safe, n_tp - 1)], p
+            )
+        return jnp.where(p > 0.0, p, 1.0 / light_count)
     w = _light_selection_weights(scene, state.p)  # [R, L]
     total = jnp.maximum(jnp.sum(w, axis=1), 1e-30)
     # locate the hit prim in the light lists

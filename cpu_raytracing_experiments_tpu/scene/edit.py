@@ -134,6 +134,9 @@ def apply_invalidation(scene: Scene, flags: SceneUpdate) -> Scene:
                 np.asarray(scene.triangles.material_id), emission
             )
             scene = dataclasses.replace(scene, tri_lights=jnp.asarray(tri_lights))
+        from .scene import build_light_alias
+
+        scene = dataclasses.replace(scene, light_alias=build_light_alias(scene))
     if flags.needs_bvh and scene.sphere_bvh is not None:
         from . import accel
 

@@ -238,6 +238,92 @@ def quat_look_at(forward, up):
 
 
 @_pytree_dataclass
+class LightAlias:
+    """O(1) light selection over STATIC power weights (Vose alias method).
+
+    The per-ray 'power' mode builds an [R, L] distance-weighted matrix per
+    bounce — O(R*L) twice (selection + emissive-hit pdf), fine at L~10 but
+    a wall for many-light scenes. This table drops the distance term:
+    w_i = max_emission_i * size_i (r^2 for spheres, area for triangles —
+    the position-independent numerator of the power weights), so selection
+    is one alias-row gather and the hit-side pdf is one per-prim gather,
+    both O(1) in L. Unbiased: the exact selection pdf feeds the same MIS.
+
+    table rows: (prob, alias, pdf_bin, pdf_alias) — packing the alias
+    bin's pdf beside its own means pdf-of-selected needs no second gather.
+    alias indices ride as f32 (exact below 2^24 lights).
+    """
+
+    table: jnp.ndarray  # [L, 4] f32
+    sphere_pdf: jnp.ndarray  # [n_spheres] f32 selection pdf, 0 = not a light
+    tri_pdf: Optional[jnp.ndarray] = None  # [n_tris] f32
+
+
+def _vose_alias(p: np.ndarray):
+    """Vose's alias-table construction from a normalized pmf [L]."""
+    n = p.size
+    prob = (p * n).astype(np.float64)
+    alias = np.arange(n, dtype=np.int64)
+    small = [i for i in range(n) if prob[i] < 1.0]
+    large = [i for i in range(n) if prob[i] >= 1.0]
+    while small and large:
+        s, g = small.pop(), large.pop()
+        alias[s] = g
+        prob[g] -= 1.0 - prob[s]
+        (small if prob[g] < 1.0 else large).append(g)
+    for i in small + large:
+        prob[i] = 1.0
+    return prob.astype(np.float32), alias
+
+
+def build_light_alias(scene: "Scene") -> Optional[LightAlias]:
+    """Host-side LightAlias build from a concrete Scene (the light-list
+    analog of build_light_list; rebuilt by edit.apply_invalidation on the
+    same Geometry|Material|Light edits)."""
+    n_s = int(scene.lights.shape[0])
+    n_t = 0 if scene.tri_lights is None else int(scene.tri_lights.shape[0])
+    total = n_s + n_t
+    if total == 0:
+        return None
+    em = np.stack(
+        [np.asarray(scene.materials.emission.x),
+         np.asarray(scene.materials.emission.y),
+         np.asarray(scene.materials.emission.z)], axis=1,
+    ).max(axis=1)
+    weights = []
+    if n_s > 0:
+        sl = np.asarray(scene.lights)
+        mid = np.asarray(scene.spheres.material_id)[sl]
+        weights.append(em[mid] * np.asarray(scene.spheres.radius_sq)[sl])
+    if n_t > 0:
+        tl = np.asarray(scene.tri_lights)
+        mid = np.asarray(scene.triangles.material_id)[tl]
+        weights.append(em[mid] * np.asarray(scene.triangles.area)[tl])
+    w = np.concatenate(weights).astype(np.float64)
+    ws = w.sum()
+    p = (w / ws) if ws > 0 else np.full(total, 1.0 / total)
+    prob, alias = _vose_alias(p)
+    p32 = p.astype(np.float32)
+    table = np.stack(
+        [prob, alias.astype(np.float32), p32, p32[alias]], axis=1
+    )
+    sphere_pdf = np.zeros(int(scene.spheres.radius_sq.shape[0]), np.float32)
+    if n_s > 0:
+        sphere_pdf[np.asarray(scene.lights)] = p32[:n_s]
+    tri_pdf = None
+    if scene.triangles is not None:
+        tri_pdf = np.zeros(int(scene.triangles.area.shape[0]), np.float32)
+        if n_t > 0:
+            tri_pdf[np.asarray(scene.tri_lights)] = p32[n_s:]
+        tri_pdf = jnp.asarray(tri_pdf)
+    return LightAlias(
+        table=jnp.asarray(table),
+        sphere_pdf=jnp.asarray(sphere_pdf),
+        tri_pdf=tri_pdf,
+    )
+
+
+@_pytree_dataclass
 class Scene:
     """Full scene aggregate (Scene.hpp:19-26).
 
@@ -259,6 +345,8 @@ class Scene:
     tri_grid: object = None
     sphere_clusters: object = None  # ClusteredPrims (scene.accel.with_clusters)
     tri_clusters: object = None
+    light_alias: Optional[LightAlias] = None  # O(1) light selection
+    # (light_sampling='alias'); auto-built by make_scene, rebuilt on edits
 
     @property
     def num_lights(self) -> int:
@@ -331,7 +419,7 @@ def make_scene(
             area=jnp.asarray(0.5 * area2),
         )
         tri_lights = jnp.asarray(build_light_list(tmid, m["emission"]))
-    return Scene(
+    scene = Scene(
         spheres=spheres,
         materials=table,
         lights=jnp.asarray(lights),
@@ -340,3 +428,4 @@ def make_scene(
         triangles=tri_geom,
         tri_lights=tri_lights,
     )
+    return dataclasses.replace(scene, light_alias=build_light_alias(scene))

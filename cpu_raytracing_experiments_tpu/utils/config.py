@@ -45,6 +45,10 @@ class RendererPolicy:
     # | 'power' — per-ray categorical selection proportional to emission x
     # solid angle, the improvement the reference marks "COSA A INVESTIGAR"
     # (Renderer.hpp:260); unbiased (exact selection pdf feeds the same MIS)
+    # | 'alias' — O(1) Vose alias-table selection over STATIC power weights
+    # (emission x size, no distance term): the scalable many-light mode —
+    # 'power' builds an [R, L] matrix twice per bounce; falls back to
+    # 'power' behavior when the scene carries no LightAlias table
     # | 'ris' — M-candidate resampled importance sampling (the reference's
     # dormant ReSTIR hook, Sampling.hpp:25-73); NEE-only direct light
     # | 'restir' — RIS + ReSTIR-style temporal reuse (per-pixel reservoir
@@ -206,7 +210,7 @@ class RendererPolicy:
         assert self.brdf in ("lambertian", "ggx", "principled"), self.brdf
         assert self.accel in ("brute", "bvh", "grid", "clustered", "pallas"), self.accel
         assert self.light_sampling in (
-            "uniform", "power", "ris", "restir"
+            "uniform", "power", "alias", "ris", "restir"
         ), self.light_sampling
         assert self.accumulation_buckets % 2 == 1, "median needs odd buckets"
         assert self.pallas_unroll in (1, 2, 4, 8), self.pallas_unroll
