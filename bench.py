@@ -21,7 +21,7 @@ CPU_BASELINE_MRAYS = 1.32
 
 WIDTH = int(os.environ.get("BENCH_WIDTH", 1920))
 HEIGHT = int(os.environ.get("BENCH_HEIGHT", 1088))  # 1080 padded to tile=16
-PASSES = int(os.environ.get("BENCH_PASSES", 60))
+PASSES = int(os.environ.get("BENCH_PASSES", 240))
 BOUNCES = int(os.environ.get("BENCH_BOUNCES", 8))
 CHUNK = int(os.environ.get("BENCH_CHUNK", 1 << 19))
 

@@ -20,7 +20,7 @@ def main():
     ap.add_argument("--grid", default="morton:256,sah:256,sah:128",
                     help="comma list of method[^K]:tile entries, e.g. "
                          "sah^64:128 for cluster_size=64, tile_r=128")
-    ap.add_argument("--passes", type=int, default=5)
+    ap.add_argument("--passes", type=int, default=64)
     ap.add_argument("--mxu", action="store_true")
     ap.add_argument("--plan", default="ray",
                     choices=["ray", "tilebox", "hybrid"])

@@ -15,7 +15,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def measure(name, scene, policy, width, height, spp_target, passes=10):
+def measure(name, scene, policy, width, height, spp_target, passes=64):
     import jax
     import jax.numpy as jnp
 
@@ -135,12 +135,12 @@ def main():
         )
     results.append(
         measure(f"5a. mesh {20 * 4**subdiv // 1000}k tris (pallas traversal)",
-                scene, pol, w, w, 256, passes=5)
+                scene, pol, w, w, 256, passes=48)
     )
     if not q:
         scene = accel.with_pallas_clusters(builders.mesh_scene(w, w, uv_res=224))
         results.append(
-            measure("5b. mesh 100k tris (pallas traversal)", scene, pol, w, w, 256, passes=5)
+            measure("5b. mesh 100k tris (pallas traversal)", scene, pol, w, w, 256, passes=48)
         )
 
     print(json.dumps({"device": device, "results": results}, indent=2))
