@@ -276,6 +276,100 @@ def accumulate_pixels_sharded(
 
 @partial(
     jax.jit,
+    static_argnames=("policy", "width", "height", "tier", "mesh",
+                     "check_vma"),
+    donate_argnames=("state",),
+)
+def _adaptive_round_sharded(
+    scene: Scene,
+    policy: RendererPolicy,
+    state: RenderState,
+    width: int,
+    height: int,
+    tol,
+    tier: int,
+    mesh: Mesh,
+    check_vma: bool = True,
+):
+    """One device-resident adaptive round, multi-chip: each dp shard
+    computes the stderr of ITS pixel block from its local buckets/counts,
+    picks its own `tier` worst pixels, and traces `buckets` subset passes
+    — no collectives, no host round-trip (the previous loop fetched the
+    full bucket array and re-split the id list on the host every round).
+    Returns (state, n_traced [dp], n_next [dp]); the host reads only these
+    small vectors to pick the next tier and stop."""
+    from ..render import estimator
+
+    n_dp = mesh.shape["dp"]
+    n_sp = mesh.shape["sp"]
+    assert n_sp == 1, "adaptive subsets chain pass counts; use sp=1"
+    npix = width * height
+    local_pix = npix // n_dp
+    b_count = policy.accumulation_buckets
+
+    def local_fn(scene, buckets, acc0, counts):
+        dp = jax.lax.axis_index("dp")
+        pixel_start = dp.astype(jnp.int32) * jnp.int32(local_pix)
+        local = buckets[0]  # [B, 3, local_pix]
+        se = estimator.stderr_arrays(local, acc0, counts)
+        pos = jnp.argsort(-se)[:tier].astype(jnp.int32)
+        val = se[pos] > tol
+        ids_g = (pos + pixel_start).astype(jnp.uint32)
+        n_traced = jnp.sum(val.astype(jnp.int32))
+        vf = val.astype(jnp.float32)
+        for k in range(b_count):
+            acc = acc0 + jnp.uint32(k + 1)
+            rad, _ = _renderer.render_pass_pixels(
+                scene, policy, acc, width, ids_g, val, vma_axes=("dp", "sp")
+            )
+            bucket = (acc % jnp.uint32(b_count)).astype(jnp.int32)
+            frame = jnp.zeros((3, local_pix), jnp.float32).at[:, pos].add(
+                jnp.stack([rad.x * vf, rad.y * vf, rad.z * vf], axis=0)
+            )
+            local = jax.lax.dynamic_update_index_in_dim(
+                local, local[bucket] + frame, bucket, 0
+            )
+        counts = counts.at[pos].add(vf * b_count)
+        se2 = estimator.stderr_arrays(
+            local, acc0 + jnp.uint32(b_count), counts
+        )
+        n_next = jnp.sum((se2 > tol).astype(jnp.int32))
+        # counts / the active-count scalars derive from the sp-varying
+        # bucket input (unlike accumulate_pixels_sharded, whose id lists
+        # come sp-replicated from the host), so a psum over the size-1
+        # 'sp' axis is needed to make their sp-replication provable to
+        # check_vma (value-identity: n_sp == 1 is asserted above)
+        counts = jax.lax.psum(counts, "sp")
+        n_traced = jax.lax.psum(n_traced, "sp")
+        n_next = jax.lax.psum(n_next, "sp")
+        return local[None], counts, n_traced[None], n_next[None]
+
+    mapped = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P("sp", None, None, "dp"), P(), P("dp")),
+        out_specs=(P("sp", None, None, "dp"), P("dp"), P("dp"), P("dp")),
+        check_vma=check_vma,
+    )
+    counts = (
+        jnp.full((npix,), state.accumulations.astype(jnp.float32))
+        if state.counts is None
+        else state.counts
+    )
+    buckets, counts, n_traced, n_next = mapped(
+        scene, state.buckets, state.accumulations, counts
+    )
+    state = RenderState(
+        buckets=buckets,
+        accumulations=state.accumulations + jnp.uint32(b_count),
+        reservoir=state.reservoir,
+        counts=counts,
+    )
+    return state, n_traced, n_next
+
+
+@partial(
+    jax.jit,
     static_argnames=("policy", "width", "height", "tonemap"),
 )
 def resolve_sharded(
@@ -414,16 +508,14 @@ class ShardedRenderer:
 
     def render_adaptive(self, tol: float, max_spp: int = 10000,
                         warmup=None, tonemap: bool = True):
-        """Multi-chip per-pixel adaptive allocation: the variance decision
-        runs on the host over the merged buckets (same rule as
-        render.api.Renderer.render_adaptive), the active pixel list is
-        split by owning dp shard, and each shard traces only its sublist
-        (accumulate_pixels_sharded — no collectives). The per-round subset
-        may differ from single-chip when a tier truncates (truncation is
-        per shard here, global there), so images agree in distribution,
-        not bit-for-bit."""
-        from ..utils.metrics import pixel_variance_map
-
+        """Multi-chip per-pixel adaptive allocation, device-resident
+        (round 3): each dp shard computes the stderr of its own pixel
+        block, picks its `tier` worst pixels, and traces the whole round's
+        subset passes inside ONE dispatch (_adaptive_round_sharded — no
+        collectives); the host reads only the per-shard active counts to
+        size the next round and stop. The per-round subset may differ from
+        single-chip (selection is per shard here, global there), so images
+        agree in distribution, not bit-for-bit."""
         assert self.mesh.shape["sp"] == 1, "adaptive requires sp=1"
         n_dp = self.mesh.shape["dp"]
         b = self.policy.accumulation_buckets
@@ -437,40 +529,19 @@ class ShardedRenderer:
         while t >= max(local_pix // 64, 32):
             tiers.append(t)
             t //= 2
-        ids_sharding = NamedSharding(self.mesh, P("dp", None))
+        tol_j = jnp.float32(tol)
+        n_max = local_pix
         while int(self.state.accumulations) < max_spp:
-            buckets = np.asarray(self.state.buckets).sum(axis=0)
-            if self.state.counts is None:
-                v = pixel_variance_map(buckets, int(self.state.accumulations))
-            else:
-                per_bucket = np.maximum(np.asarray(self.state.counts) / b, 1.0)
-                means = buckets / per_bucket[None, None, :]
-                v = (means.var(axis=0, ddof=1).mean(axis=0) / b).astype(
-                    np.float32
-                )
-            active = np.sqrt(v) > tol
-            if int(active.sum()) == 0:
+            if n_max == 0:
                 break
-            ids = np.flatnonzero(active)
-            per = [ids[ids // local_pix == s] for s in range(n_dp)]
-            n_max = max(p.size for p in per)
             tier = next((t for t in reversed(tiers) if t >= n_max), local_pix)
-            ids_pad = np.zeros((n_dp, tier), np.int32)
-            valid = np.zeros((n_dp, tier), bool)
-            for s, p in enumerate(per):
-                m = min(p.size, tier)
-                ids_pad[s, :m] = p[:m]
-                valid[s, :m] = True
-                ids_pad[s, m:] = s * local_pix  # in-shard padding ids
-            ids_j = jax.device_put(jnp.asarray(ids_pad), ids_sharding)
-            val_j = jax.device_put(jnp.asarray(valid), ids_sharding)
-            for _ in range(b):
-                self.state = accumulate_pixels_sharded(
-                    self.scene, self.policy, self.state, self.width,
-                    self.height, ids_j, val_j, self.mesh,
-                    check_vma=self.check_vma,
-                )
-            traced += b * int(valid.sum())
+            self.state, n_traced, n_next = _adaptive_round_sharded(
+                self.scene, self.policy, self.state, self.width,
+                self.height, tol_j, tier, self.mesh,
+                check_vma=self.check_vma,
+            )
+            traced += b * int(np.asarray(n_traced).sum())
+            n_max = int(np.asarray(n_next).max())
         img = self.render(tonemap=tonemap)
         uniform_equiv = int(self.state.accumulations) * npix
         counts = (

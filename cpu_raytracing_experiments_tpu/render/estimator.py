@@ -151,6 +151,35 @@ def accumulate_pixels(
     )
 
 
+def stderr_arrays(buckets, accumulations, counts) -> jnp.ndarray:
+    """[n] per-pixel standard error of the running mean from the
+    median-of-means bucket spread (channel-averaged), computed ON DEVICE —
+    the basis of the device-resident adaptive round (render/api.py
+    _adaptive_round_jit, parallel/sharded.py _adaptive_round_sharded).
+    Matches utils.metrics.pixel_variance_map (the host oracle) for uniform
+    counts and the count-aware variant for per-pixel `counts`: each
+    pixel's per-bucket share normalizes its bucket sums before the
+    across-bucket variance. `buckets` is [B, 3, n]; `counts` is [n] or
+    None (uniform: accumulations // B per bucket)."""
+    b = buckets.shape[0]
+    n = buckets.shape[-1]
+    if b <= 1:
+        return jnp.zeros((n,), jnp.float32)
+    if counts is None:
+        per_bucket = jnp.maximum(
+            jnp.floor(accumulations.astype(jnp.float32) / b), 1.0
+        )
+    else:
+        per_bucket = jnp.maximum(counts / b, 1.0)[None, None, :]
+    means = buckets / per_bucket
+    v = means.var(axis=0, ddof=1).mean(axis=0) / b
+    return jnp.sqrt(v)
+
+
+def pixel_stderr(state: RenderState) -> jnp.ndarray:
+    return stderr_arrays(state.buckets, state.accumulations, state.counts)
+
+
 def accumulate_wide(
     scene: Scene,
     policy: RendererPolicy,
