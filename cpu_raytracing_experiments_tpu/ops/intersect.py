@@ -48,7 +48,11 @@ def _tile_for(kw: dict, cp) -> dict:
     streaming threshold traverse via the HBM-streaming kernel, which has its
     own visit schedule (mxu/fuse/unroll/trav_block drop per-pack)."""
     if kw.get("tile_r") == "auto":
-        kw = dict(kw, tile_r=128 if cp.num_clusters < 512 else 256)
+        # 128 up to ~2k clusters (clean 48-pass A/B: 100k tris C=1130
+        # tile=128 beats 256 — the round-2 "large packs want 256" call was
+        # dispatch-floor inflation); past that the planner's per-tile
+        # [TILE_R x C] battery and [T, C] entry matrix favor fewer tiles
+        kw = dict(kw, tile_r=128 if cp.num_clusters < 2048 else 256)
     if kw.get("fuse") == "auto":
         # fused-visit width by cluster size (measured, benchmarks/
         # RESULTS.md): K<=256 takes quad trips (20k mesh 7.04 -> 7.40

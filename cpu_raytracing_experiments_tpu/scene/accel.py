@@ -111,14 +111,19 @@ def with_pallas_clusters(
     method='sah' (default) cuts a binned-SAH tree into maximal <=K-prim
     leaves (tight boxes, partial fill); method='morton' is the fixed-size
     morton chop. cluster_size='auto' picks the measured sweet spot by prim
-    count (benchmarks/mesh_ab.py K-sweeps: 20k tris peak at K=256, 100k at
-    K=512, 328k at K=1024 — bigger scenes amortize per-visit fixed cost
-    over bigger batteries)."""
+    count (benchmarks/mesh_ab.py K-sweeps with floor-proof x48-64-pass
+    timing — the round-2 sweep at 5 fused passes carried 10-26 ms/pass of
+    dispatch-floor inflation that favored big K): 20k tris peak at K=64
+    (11.9 vs 8.9 Mrays/s at the old K=256 pick), 100k at K=128 (9.4 vs 6.6
+    at K=512). Finer clusters cull more precisely — the battery volume
+    drop beats the extra visits once per-visit fixed cost is paid
+    honestly. 200k+ stays at K=256: K=128 at 328k tris makes ~3.7k
+    clusters, brushing the traversal kernel's SMEM visit-list ceiling."""
     if cluster_size == "auto":
         p = scene.spheres.count
         if scene.triangles is not None:
             p = max(p, scene.triangles.count)
-        cluster_size = 256 if p < 50_000 else (512 if p < 200_000 else 1024)
+        cluster_size = 64 if p < 50_000 else (128 if p < 200_000 else 256)
     if method == "sah":
         return _with_sah_clusters(scene, cluster_size)
     n_sph = -(-scene.spheres.count // cluster_size)
