@@ -394,7 +394,8 @@ def _select_light_ris(scene, policy, point: Vec3, site, light_count):
     return site, jnp.where(ok, sel, 0), big_w
 
 
-def _select_light_restir(scene, policy, point: Vec3, site, light_count, res_in):
+def _select_light_restir(scene, policy, point: Vec3, site, light_count,
+                         res_in, guides=None, xy=None, geom=None):
     """ReSTIR-style light selection: a fresh M-candidate RIS reservoir is
     merged with the pixel's temporal reservoir (previous accumulation pass)
     and `restir_spatial` neighbor reservoirs, all re-weighted by the target
@@ -404,6 +405,21 @@ def _select_light_restir(scene, policy, point: Vec3, site, light_count, res_in):
     the final contribution weight W = wsum / (count * p_hat(sel)) is
     computed against the current point's p_hat; visibility is resolved by
     the per-pass shadow ray as usual.
+
+    Spatial neighbors (round 3): when `xy` (per-lane LOCAL pixel coords)
+    and `geom` (order, width, tile_edge, spp — static) are given, each
+    spatial candidate is a true 2-D screen-space neighbor (dx, dy) drawn
+    uniformly from the restir_radius box: the neighbor's lane is recovered
+    arithmetically from the ray-order key (raster: y*W+x; tile:
+    tile-major + in-tile raster), and SELF-VERIFIED by comparing the
+    gathered lane's stored coords — a mismatch (chunk boundary, partial
+    edge tile, off-image clamp) rejects the candidate, so the arithmetic
+    shortcut can never alias a wrong pixel. `guides` = (normal Vec3,
+    hit distance [R]) adds the standard geometry-similarity rejection
+    (dot(n, n_nb) >= 0.906, |t - t_nb| <= 0.1*max) behind
+    policy.restir_reject, suppressing reuse across depth/orientation
+    discontinuities. Without xy/geom, falls back to the round-2 1-D
+    lane-offset neighborhood.
 
     res_in/res_out: (sample [R] i32 (-1=empty), W [R] f32, count [R] f32),
     aligned to the CURRENT ray-array order.
@@ -432,23 +448,77 @@ def _select_light_restir(scene, policy, point: Vec3, site, light_count, res_in):
         sel = jnp.where(u_res < (w / jnp.maximum(wsum, 1e-30)), cand, sel)
     cnt = jnp.full(shape, m)
 
-    # candidate reservoirs: temporal (same lane) + spatial neighbors in
-    # ray-array order (with tile order: within the 16x16 screen block)
+    # candidate reservoirs: temporal (same lane) + spatial neighbors
     s_in, w_in, c_in = res_in
-    cands = [(s_in, w_in, c_in)]
+    cands = [(s_in, w_in, c_in, None)]
     num = s_in.shape[0]
     lane = jnp.arange(num, dtype=jnp.int32)
     radius = jnp.int32(policy.restir_radius)
+    use_2d = xy is not None and geom is not None
+    if use_2d:
+        order, width, edge, spp = geom
+        x_i = xy[0].astype(jnp.int32)
+        y_i = xy[1].astype(jnp.int32)
+        if order == "tile":
+            tiles_x = -(-width // edge)
+
+            def key_fn(px_, py_):
+                return (
+                    ((py_ // edge) * tiles_x + (px_ // edge)) * (edge * edge)
+                    + (py_ % edge) * edge + (px_ % edge)
+                )
+        else:
+
+            def key_fn(px_, py_):
+                return py_ * width + px_
+
+        key_self = key_fn(x_i, y_i)
+        # one packed row per lane -> ONE row-gather per candidate instead
+        # of up to 9 flat gathers (the measured ~1 ms/gather tax at 147k+)
+        cols = [s_in.astype(jnp.float32), w_in, c_in,
+                x_i.astype(jnp.float32), y_i.astype(jnp.float32)]
+        reject = guides is not None and policy.restir_reject
+        if reject:
+            n_g, d_g = guides
+            cols += [n_g.x, n_g.y, n_g.z, d_g]
+        nb_tbl = fast_gather.pack_table(*cols)
     for _ in range(policy.restir_spatial):
-        site, u_off = rng.rand_unit_float(site)
-        off = (u_off * (2.0 * radius + 1.0)).astype(jnp.int32) - radius
-        idx = jnp.clip(lane + off, 0, num - 1)
-        cands.append((s_in[idx], w_in[idx], c_in[idx]))
+        if not use_2d:
+            site, u_off = rng.rand_unit_float(site)
+            off = (u_off * (2.0 * radius + 1.0)).astype(jnp.int32) - radius
+            idx = jnp.clip(lane + off, 0, num - 1)
+            cands.append((s_in[idx], w_in[idx], c_in[idx], None))
+            continue
+        site, u_dx = rng.rand_unit_float(site)
+        site, u_dy = rng.rand_unit_float(site)
+        rf = 2.0 * radius.astype(jnp.float32) + 1.0
+        dx = (u_dx * rf).astype(jnp.int32) - radius
+        dy = (u_dy * rf).astype(jnp.int32) - radius
+        nx = jnp.clip(x_i + dx, 0, width - 1)
+        ny = jnp.maximum(y_i + dy, 0)  # top clamp; bottom via coord verify
+        idx = jnp.clip(
+            lane + (key_fn(nx, ny) - key_self) * spp, 0, num - 1
+        )
+        row = fast_gather.gather_rows(nb_tbl, idx)
+        s_q = row[:, 0].astype(jnp.int32)
+        w_q, c_q = row[:, 1], row[:, 2]
+        ok2 = (row[:, 3].astype(jnp.int32) == nx) & (
+            row[:, 4].astype(jnp.int32) == ny
+        )
+        if reject:
+            ndot = n_g.x * row[:, 5] + n_g.y * row[:, 6] + n_g.z * row[:, 7]
+            d_nb = row[:, 8]
+            ok2 = ok2 & (ndot >= 0.906) & (
+                jnp.abs(d_g - d_nb) <= 0.1 * jnp.maximum(d_g, d_nb)
+            )
+        cands.append((s_q, w_q, c_q, ok2))
 
     cap = m * jnp.float32(policy.restir_temporal_cap)
-    for s_q, w_q, c_q in cands:
+    for s_q, w_q, c_q, extra_ok in cands:
         c_q = jnp.minimum(c_q, cap)
         ok_q = s_q >= 0
+        if extra_ok is not None:
+            ok_q = ok_q & extra_ok
         w = jnp.where(ok_q, p_hat(s_q) * w_q * c_q, 0.0)
         wsum = wsum + w
         site, u_res = rng.rand_unit_float(site)
@@ -484,6 +554,9 @@ def _next_event_estimation(
     v_local: Vec3,
     mat: dict,
     restir_in=None,
+    restir_xy=None,
+    restir_geom=None,
+    restir_guides=None,
 ):
     """NEE with MIS (Renderer.hpp:247-314): pick one light uniformly,
     cone-sample sphere lights / area-sample triangle lights, trace a shadow
@@ -510,7 +583,8 @@ def _next_event_estimation(
         and light_count > 1
     ):
         site, selected, ris_w, restir_out = _select_light_restir(
-            scene, policy, p_offset, site, light_count, restir_in
+            scene, policy, p_offset, site, light_count, restir_in,
+            guides=restir_guides, xy=restir_xy, geom=restir_geom,
         )
         light_selection_pdf = None
     elif policy.light_sampling in ("ris", "restir") and light_count > 1:
@@ -785,6 +859,8 @@ def trace_rays(
     vma_axes: tuple = (),
     res_in=None,
     alive0=None,
+    restir_xy=None,
+    restir_geom=None,
 ) -> Vec3:
     """Run the full bounce loop for a batch of primary rays; returns per-ray
     radiance (plus, when `res_in` reservoirs are given for
@@ -834,7 +910,8 @@ def trace_rays(
     if res_in is not None and policy.light_sampling == "restir":
         # peel the primary bounce: reservoir merge/reuse happens here only
         init, res_out = bounce_step(
-            scene, pol0, accumulation, seeds, init, restir_in=res_in
+            scene, pol0, accumulation, seeds, init, restir_in=res_in,
+            restir_xy=restir_xy, restir_geom=restir_geom,
         )
     elif pol0 is not policy:
         init = bounce_step(scene, pol0, accumulation, seeds, init)
@@ -963,7 +1040,7 @@ def trace_rays(
 
 
 def bounce_step(scene, policy, accumulation, seeds, state: PathState,
-                restir_in=None):
+                restir_in=None, restir_xy=None, restir_geom=None):
     """One wavefront bounce — the loop body of Renderer::Accumulate's bounce
     loop (Renderer.hpp:131-432). `state.bounce` may be a scalar (uniform
     wavefront, trace_rays) or a per-lane vector (pooled wavefront with ray
@@ -1031,6 +1108,11 @@ def bounce_step(scene, policy, accumulation, seeds, state: PathState,
                     scene, policy, state, accumulation, seeds, hit, prim_id,
                     is_tri, p_offset, t_quat, v_local, mat,
                     restir_in=restir_in,
+                    restir_xy=restir_xy,
+                    restir_geom=restir_geom,
+                    restir_guides=(
+                        (n, tfar) if restir_in is not None else None
+                    ),
                 )
                 radiance = radiance + nee
 
@@ -1238,6 +1320,7 @@ def render_pass(
         "ReSTIR reservoirs chain sequentially across passes; k_passes must "
         "be 1 in restir mode"
     )
+    restir_geom = None
     if use_restir:
         # reservoirs per ray position: gather the pixel's reservoir
         res_pos = (
@@ -1250,6 +1333,18 @@ def render_pass(
                     ).reshape(-1, chunk),
             res_pos[1],
             res_pos[2],
+        )
+        # LOCAL pixel coords per lane (shard-local raster decomposition of
+        # `local`, matching the order key the 2-D spatial neighborhood
+        # inverts — see _select_light_restir)
+        loc32 = local.astype(jnp.int32)
+        res_pos = res_pos + (
+            pad(loc32 % jnp.int32(width)).reshape(-1, chunk),
+            pad(loc32 // jnp.int32(width)).reshape(-1, chunk),
+        )
+        restir_geom = (
+            ("tile", width, edge, spp) if perm is not None
+            else ("raster", width, 0, spp)
         )
     # lane validity: 0 on the chunk-padding tail so padded lanes trace dead
     # (they'd otherwise duplicate pixel 0 at full cost and inflate ray_count)
@@ -1267,9 +1362,11 @@ def render_pass(
         p0, d0 = generate_camera_rays(
             scene.camera, cx, cy, acc_arg, cseed, policy.enable_dof, policy
         )
-        res = tuple(args[4:]) if use_restir else None
+        res = tuple(args[4:7]) if use_restir else None
+        rxy = (args[7], args[8]) if use_restir else None
         return trace_rays(scene, policy, acc_arg, cseed, p0, d0, vma_axes,
-                          res_in=res, alive0=cok > 0)
+                          res_in=res, alive0=cok > 0,
+                          restir_xy=rxy, restir_geom=restir_geom)
 
     res_flat = None
     if padded == chunk:

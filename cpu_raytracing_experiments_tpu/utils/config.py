@@ -187,9 +187,19 @@ class RendererPolicy:
     # RIS on a 326-light scene; cap=2 with spatial=4 is ~6% better) -
     # real-time ReSTIR wants long memory, offline accumulation wants short
     restir_spatial: int = 4  # spatial neighbor reservoirs merged per pass
-    restir_radius: int = 32  # neighbor offset radius IN RAY-ARRAY ORDER
-    # (with ray_order='tile' this is within a 16x16 screen block; with
-    # raster order it is along the scanline)
+    restir_radius: int = 8  # 2-D spatial neighborhood radius IN PIXELS:
+    # each spatial candidate draws (dx, dy) uniformly from the
+    # [-radius, radius]^2 box around the pixel (true screen-space
+    # neighbors; the neighbor's lane is recovered from the ray-order key
+    # and self-verified — renderer._select_light_restir). Paths without
+    # per-lane pixel coords (render_pass_pixels) fall back to 1-D
+    # lane-offset neighbors at this radius in ray-array order.
+    restir_reject: bool = True  # geometry-similarity rejection of spatial
+    # neighbors: reuse only when normals agree within ~25 deg AND hit
+    # distances within 10% — the standard ReSTIR guard against reusing
+    # across depth/orientation discontinuities (silhouettes, floor/object
+    # boundaries), where a neighbor's light choice is near-useless and
+    # dilutes the reservoir
     enable_dof: bool = False  # thin-lens depth of field: the reference declares
     # aperture/focus (Camera.hpp:17-26) but never uses them in generate_ray;
     # we implement real DoF behind this switch

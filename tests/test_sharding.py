@@ -170,10 +170,13 @@ def test_sharded_pallas_accel_matches_single():
 def test_sharded_restir_temporal_matches_single():
     """dp-sharded ReSTIR: reservoirs shard with their pixels. Temporal-only
     reuse (restir_spatial=0) has no neighbor lookups, so an 8-device render
-    is bit-identical to single-device; with spatial reuse only pixels whose
-    lane-offset neighbor candidates clip at a shard edge may differ (the
-    same clip the single-chip path applies at the array edge — equal in
-    distribution, boundary candidates differ)."""
+    is bit-identical to single-device; with 2-D spatial reuse only pixels
+    whose (dx, dy) neighborhood crosses a shard's scanline band may differ
+    (the shard's coord-verified candidates reject out-of-band rows where
+    the single-chip path reuses them — equal in distribution). The spatial
+    leg uses dp=2 so each band is 16 rows tall and most neighborhoods stay
+    in-band; at dp=8 a 32-pixel-tall frame gives 4-row bands, thinner than
+    the radius, and EVERY pixel becomes a boundary pixel."""
     import dataclasses
 
     import numpy as np
@@ -201,11 +204,14 @@ def test_sharded_restir_temporal_matches_single():
     pol2 = dataclasses.replace(pol, restir_spatial=2, restir_radius=4)
     s2 = Renderer(scene, pol2, w, h)
     s2.accumulate(6)
-    sr2 = sharded.ShardedRenderer(scene, pol2, w, h, mesh)
+    import jax
+
+    mesh2 = sharded.make_mesh(dp=2, sp=1, devices=jax.devices()[:2])
+    sr2 = sharded.ShardedRenderer(scene, pol2, w, h, mesh2)
     sr2.accumulate(6)
     a = np.asarray(s2.render(tonemap=False))
     b = np.asarray(sr2.render(tonemap=False))
-    assert (a == b).mean() > 0.8, (a == b).mean()
+    assert (a == b).mean() > 0.7, (a == b).mean()
     assert float(((a - b) ** 2).mean()) < 1e-4
 
 
