@@ -1,0 +1,147 @@
+"""Off-hardware tests of the traversal kernels' early-exit SCHEDULE via
+the numpy simulator (ops/pallas/schedule_sim.py).
+
+The Pallas interpreter's while_loop cond reads stale SMEM, so the
+compiled kernels' early exit never fires under interpret mode and its
+logic was previously gated only by benchmarks/tpu_goldens.py on real
+hardware. These tests run the simulator (which implements the compiled
+semantics: fresh mx in cond, every-8th-visit stale refresh, fused-trip
+gating) against brute-force references, INCLUDING the adversarial
+spike-dip case the sort=False suffix-min entries exist for."""
+import dataclasses as dc
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cpu_raytracing_experiments_tpu.core.vec import Vec3
+from cpu_raytracing_experiments_tpu.ops import clustered, intersect
+from cpu_raytracing_experiments_tpu.ops.pallas import schedule_sim as sim
+from cpu_raytracing_experiments_tpu.ops.pallas import traverse_kernel as tk
+
+
+def _spike_dip_scene():
+    """10 blocker blobs at z~3 (hits shrink mx at the refresh), a far
+    spike at z=5, then a near dip at z=1.2 holding the true closest hit —
+    in morton/forced visit order the spike precedes the dip, so a naive
+    `entry[j] >= mx -> exit` would skip the true hit; the suffix-min
+    entries make the exit provably safe (tpu_goldens._early_exit_gate)."""
+    K = 8
+
+    def blob(z):
+        c = np.tile(np.array([[0.0, 0.0, z]], np.float32), (K, 1))
+        c[:, 1] += np.linspace(-0.2, 0.2, K)
+        return c
+
+    zs = [3.0 + 0.01 * i for i in range(10)] + [5.0, 1.2]
+    centers = np.concatenate([blob(z) for z in zs], 0)
+    radii = np.full(12 * K, 0.3, np.float32)
+    rows = np.concatenate([centers, (radii ** 2)[:, None]], 1)
+    cp = clustered.build_clusters(
+        centers - radii[:, None], centers + radii[:, None], rows,
+        num_clusters=12, kind="sphere",
+    )
+    perm = np.arange(12 * K, dtype=np.int32)  # blob-major visit order
+    lo = (centers - radii[:, None]).reshape(12, K, 3).min(1)
+    hi = (centers + radii[:, None]).reshape(12, K, 3).max(1)
+    cp = dc.replace(
+        cp, rows=jnp.asarray(rows), order=jnp.asarray(perm),
+        lo=Vec3(*[jnp.asarray(lo[:, i]) for i in range(3)]),
+        hi=Vec3(*[jnp.asarray(hi[:, i]) for i in range(3)]),
+    )
+    R = 64
+    p0 = np.tile(np.array([[0.0, 0.0, 0.0]], np.float32), (R, 1))
+    p0[:, 1] = np.linspace(-0.2, 0.2, R)
+    d0 = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (R, 1))
+    p = Vec3(*[jnp.asarray(p0[:, i]) for i in range(3)])
+    d = Vec3(*[jnp.asarray(d0[:, i]) for i in range(3)])
+    geom = (Vec3(*[jnp.asarray(centers[:, i]) for i in range(3)]),
+            jnp.asarray(radii ** 2))
+    return cp, p, d, geom
+
+
+def _plan(cp, p, d, tfar, sort, tile_r=64):
+    r = p.x.shape[0]
+    t_tiles = -(-(-(-r // tile_r)) // 8) * 8
+    rp = t_tiles * tile_r
+    valid = (np.asarray(tfar) > 0).astype(np.float32)
+    cols = tk._ray_cols(
+        [(p.x, 1e30), (p.y, 1e30), (p.z, 1e30), (d.x, 1.0), (d.y, 1.0),
+         (d.z, 1.0), (jnp.asarray(tfar), 0.0), (jnp.asarray(valid), 0.0)],
+        rp)
+    return tk._plan_visits(cp, cols, t_tiles, tile_r, sort, True,
+                           "ray", 8, "xla")
+
+
+@pytest.mark.parametrize("sort", [True, False])
+@pytest.mark.parametrize("w_trip", [1, 2, 4])
+def test_spike_dip_closest_exit_fires_and_is_correct(sort, w_trip):
+    cp, p, d, geom = _spike_dip_scene()
+    _, id_ref = intersect.intersect_spheres(p, d, *geom)
+    tf0 = np.full(64, sim.FLT_MAX, np.float32)
+    visit, entry, nvis = _plan(cp, p, d, tf0, sort)
+    tfar, prim, nexec = sim.simulate_closest(
+        cp, p, d, tile_r=64, visit=visit, entry=entry, nvis=nvis,
+        w_trip=w_trip)
+    orig = np.where(prim >= 0, np.asarray(cp.order)[np.maximum(prim, 0)], -1)
+    np.testing.assert_array_equal(orig, np.asarray(id_ref))
+    planned = int(np.asarray(nvis).sum())
+    if sort:
+        # front-to-back order: the exit fires (the far spike at z=5 is
+        # never visited once the dip at z=1.2 shrinks the bound)
+        assert nexec < planned, (nexec, planned)
+    else:
+        # morton order + suffix-min entries: the near dip sits LAST, so
+        # every prefix's suffix-min stays below the bound and the walk
+        # runs to completion — the soundness-over-speed trade the
+        # suffix-min exists for (a raw-entry exit would skip the true
+        # hit here)
+        assert nexec == planned, (nexec, planned)
+
+
+def test_spike_dip_shadow_lane_dropout_exit():
+    """Shadow variant: occluders in front of half the lanes shrink the
+    live-lane bound mid-list; exit must fire without missing any
+    occlusion."""
+    cp, p, d, geom = _spike_dip_scene()
+    tf = np.full(64, 10.0, np.float32)
+    visit, entry, nvis = _plan(cp, p, d, tf, sort=True)
+    occ, nexec = sim.simulate_shadow(
+        cp, p, d, tf, tile_r=64, visit=visit, entry=entry, nvis=nvis)
+    # brute reference
+    occ_ref = np.asarray(
+        intersect.occluded_spheres(p, d, jnp.asarray(tf), *geom))
+    np.testing.assert_array_equal(occ, occ_ref)
+    planned = int(np.asarray(nvis).sum())
+    assert nexec < planned, (nexec, planned)
+
+
+def test_random_scene_matches_brute_all_widths():
+    rng = np.random.default_rng(7)
+    P = 96
+    centers = rng.uniform(-3, 3, (P, 3)).astype(np.float32)
+    radii = rng.uniform(0.1, 0.5, P).astype(np.float32)
+    rows = np.concatenate([centers, (radii ** 2)[:, None]], 1)
+    cp = clustered.build_clusters_sah(
+        centers - radii[:, None], centers + radii[:, None], rows,
+        cluster_size=16, kind="sphere",
+    )
+    R = 128
+    p0 = rng.uniform(-4, 4, (R, 3)).astype(np.float32)
+    d0 = rng.normal(size=(R, 3)).astype(np.float32)
+    d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+    p = Vec3(*[jnp.asarray(p0[:, i]) for i in range(3)])
+    d = Vec3(*[jnp.asarray(d0[:, i]) for i in range(3)])
+    geom = (Vec3(*[jnp.asarray(centers[:, i]) for i in range(3)]),
+            jnp.asarray(radii ** 2))
+    t_ref, id_ref = intersect.intersect_spheres(p, d, *geom)
+    tf0 = np.full(R, sim.FLT_MAX, np.float32)
+    for sort in (True, False):
+        visit, entry, nvis = _plan(cp, p, d, tf0, sort)
+        for w in (1, 2, 4, 8):
+            tfar, prim, _ = sim.simulate_closest(
+                cp, p, d, tile_r=64, visit=visit, entry=entry, nvis=nvis,
+                w_trip=w)
+            orig = np.where(
+                prim >= 0, np.asarray(cp.order)[np.maximum(prim, 0)], -1)
+            np.testing.assert_array_equal(orig, np.asarray(id_ref))
