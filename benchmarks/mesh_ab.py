@@ -23,7 +23,7 @@ def main():
     ap.add_argument("--passes", type=int, default=64)
     ap.add_argument("--mxu", action="store_true")
     ap.add_argument("--plan", default="ray",
-                    choices=["ray", "tilebox", "hybrid"])
+                    choices=["ray", "tilebox", "hybrid", "super", "auto"])
     ap.add_argument("--size", type=int, default=384)
     ap.add_argument("--bounces", type=int, default=8)
     ap.add_argument("--plan-block", type=int, default=8,

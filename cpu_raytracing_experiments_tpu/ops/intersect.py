@@ -62,6 +62,10 @@ def _tile_for(kw: dict, cp) -> dict:
         kw = dict(kw, fuse=4 if cp.cluster_size <= 256 else 2,
                   trav_block=8 if kw.get("trav_block") == 1 else
                   kw.get("trav_block"))
+    if kw.get("plan") == "auto":
+        # 'super' measured slower at every tested C (RESULTS.md round-3
+        # supercluster A/B); auto resolves to the flat per-ray battery
+        kw = dict(kw, plan="ray")
     if kw.get("stream") == "auto":
         kw = dict(kw, stream=_tk.table_bytes(cp) > PALLAS_STREAM_BYTES)
     if cp.cluster_size < 128:

@@ -418,7 +418,8 @@ def _make_plan_kernel_hybrid(c_real: int, tile_r: int, ppb: int = 8):
 
 
 def _make_plan_kernel(c_real: int, tile_r: int, ppb: int = 8,
-                      sort_in_kernel: bool = False):
+                      sort_in_kernel: bool = False,
+                      use_super: bool = False):
     """One program plans `ppb` consecutive tiles (output blocks must be
     8-sublane-divisible, so ppb is a multiple of 8); the per-tile reduce is
     a fori static-slice loop — no in-kernel reshape across the sublane dim.
@@ -433,26 +434,77 @@ def _make_plan_kernel(c_real: int, tile_r: int, ppb: int = 8,
     itself (~2-3 ms per traversal call at 147k rays: TPU sorts and flat
     gathers run near one element per cycle). The selection loop runs
     max(nvis) steps (one vector->SMEM->scalar crossing per 8-row group),
-    so cost scales with visits actually planned, not O(C^2)."""
+    so cost scales with visits actually planned, not O(C^2).
+
+    `use_super` = two-level (supercluster) refinement (the VERDICT round-3
+    item / ARCHITECTURE.md supercluster sketch): phase A runs the slab
+    battery against S = ceil(C/128) union AABBs of 128 consecutive
+    SAH-order clusters (six extra [8, 128] rows), phase B refines ONLY the
+    entered superclusters — a lax.cond-gated [TILE_R, 128] member battery
+    per entered super, placed into the full row by a lane-block select.
+    The member battery runs _tile_entry_row's exact arithmetic on the
+    exact per-cluster slab values, so the emitted entries (and therefore
+    the sorted visit lists and every render) are BIT-IDENTICAL to the
+    flat planner; skipping a super whose union box rejects the tile is
+    exact (union entry lower-bounds every member entry). Planner battery
+    cost drops from O(TILE_R x C) to O(TILE_R x (S + 128*E)) per tile —
+    at the 100k config (C=1130) a 4K-width plan call measured 15.7 ms
+    flat; E (entered supers) is small for coherent tiles."""
 
     def kernel(*refs):
         slabs = refs[:6]
-        (px, py, pz, dx, dy, dz, tf, valid) = refs[6:14]
+        k = 6
+        if use_super:
+            sslabs = refs[6:12]
+            k = 12
+        (px, py, pz, dx, dy, dz, tf, valid) = refs[k:k + 8]
         if sort_in_kernel:
-            out_e, out_v, ns = refs[14], refs[15], refs[16]
+            out_e, out_v, ns = refs[k + 8], refs[k + 9], refs[k + 10]
             cpad = out_e.shape[1]
         else:
-            out = refs[14]
+            out = refs[k + 8]
             cpad = out.shape[1]
         sub = jax.lax.broadcasted_iota(jnp.int32, (8, cpad), 0)
+        n_super = (c_real + 127) // 128 if use_super else 0
 
         def body(i, acc):
             s = pl.ds(i * tile_r, tile_r)
             ok = valid[s, :] > 0
-            row = _tile_entry_row(
-                slabs, px[s, :], py[s, :], pz[s, :], dx[s, :], dy[s, :],
-                dz[s, :], tf[s, :], ok, c_real,
-            )
+            rays = (px[s, :], py[s, :], pz[s, :], dx[s, :], dy[s, :],
+                    dz[s, :])
+            tfs = tf[s, :]
+            if not use_super:
+                row = _tile_entry_row(slabs, *rays, tfs, ok, c_real)
+            else:
+                # phase A: one [TILE_R, 128] battery over the union boxes
+                srow = _tile_entry_row(sslabs, *rays, tfs, ok, n_super)
+                siota = jax.lax.broadcasted_iota(jnp.int32, srow.shape, 1)
+                blk = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, cpad), 1) // 128
+                tiles128 = cpad // 128
+
+                def refine(sc, row):
+                    e_s = jnp.min(jnp.where(siota == sc, srow, FLT_MAX))
+
+                    def do(row):
+                        ds = pl.ds(sc * 128, 128)
+                        mslabs = tuple(t[0:1, ds] for t in slabs)
+                        # c_real=128: member padding lanes carry inverted
+                        # boxes (never hit), no extra mask needed
+                        mrow = _tile_entry_row(
+                            mslabs, *rays, tfs, ok, 128)
+                        return jnp.where(
+                            blk == sc,
+                            jnp.tile(mrow, (1, tiles128)), row)
+
+                    return jax.lax.cond(
+                        e_s < FLT_MAX, do, lambda r: r, row)
+
+                row = jax.lax.fori_loop(
+                    0, n_super, refine,
+                    jnp.full((1, cpad), FLT_MAX, jnp.float32))
+                lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+                row = jnp.where(lane < c_real, row, FLT_MAX)
             # accumulate rows in registers; a [1, Cp] row store is a
             # partial-sublane write (read-modify-write per tile) — batching
             # 8 rows per VMEM store keeps every store a full sublane group
@@ -535,16 +587,24 @@ def _plan_visits(cp: ClusteredPrims, ray_in, t_tiles: int, tile_r: int,
     ppb = max(ppb, 8)
     slabs, cpad = _slab_rows(cp)
     slabs = _match_vma(slabs, ray_in[0])
+    use_super = plan == "super"
+    sslabs, sspecs = (), []
+    if use_super:
+        sslabs = tuple(_match_vma(_super_slab_rows(cp), ray_in[0]))
+        sp = sslabs[0].shape[1]
+        sspecs = [pl.BlockSpec((8, sp), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)] * 6
     slab_spec = pl.BlockSpec((8, cpad), lambda i: (0, 0), memory_space=pltpu.VMEM)
     colb = pl.BlockSpec((ppb * tile_r, 1), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
-    if sort and sort_impl == "kernel" and plan == "ray":
+    if sort and sort_impl == "kernel" and plan in ("ray", "super"):
         out_spec = pl.BlockSpec((ppb, cpad), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
         entry_s, visit = pl.pallas_call(
-            _make_plan_kernel(c, tile_r, ppb, sort_in_kernel=True),
+            _make_plan_kernel(c, tile_r, ppb, sort_in_kernel=True,
+                              use_super=use_super),
             grid=(t_tiles // ppb,),
-            in_specs=[slab_spec] * 6 + [colb] * 8,
+            in_specs=[slab_spec] * 6 + sspecs + [colb] * 8,
             out_specs=[out_spec, out_spec],
             out_shape=[
                 _out_struct((t_tiles, cpad), jnp.float32, ray_in[0]),
@@ -553,7 +613,7 @@ def _plan_visits(cp: ClusteredPrims, ray_in, t_tiles: int, tile_r: int,
             scratch_shapes=[pltpu.SMEM((1, 1), jnp.int32)],
             interpret=interpret,
             compiler_params=_COMPILER_PARAMS,
-        )(*slabs, *ray_in)
+        )(*slabs, *sslabs, *ray_in)
         entry_sorted = entry_s[:, :c]
         order = visit[:, :c]
         nvis = jnp.sum((entry_sorted < FLT_MAX).astype(jnp.int32), axis=1,
@@ -563,16 +623,18 @@ def _plan_visits(cp: ClusteredPrims, ray_in, t_tiles: int, tile_r: int,
         "tilebox": _make_plan_kernel_tilebox,
         "hybrid": _make_plan_kernel_hybrid,
     }.get(plan, _make_plan_kernel)
+    kern = (maker(c, tile_r, ppb, use_super=True) if use_super
+            else maker(c, tile_r, ppb))
     entry_t = pl.pallas_call(
-        maker(c, tile_r, ppb),
+        kern,
         grid=(t_tiles // ppb,),
-        in_specs=[slab_spec] * 6 + [colb] * 8,
+        in_specs=[slab_spec] * 6 + sspecs + [colb] * 8,
         out_specs=pl.BlockSpec((ppb, cpad), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=_out_struct((t_tiles, cpad), jnp.float32, ray_in[0]),
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(*slabs, *ray_in)
+    )(*slabs, *sslabs, *ray_in)
     entry_t = entry_t[:, :c]  # [T, C]
     nvis = jnp.sum((entry_t < FLT_MAX).astype(jnp.int32), axis=1, keepdims=True)
     if sort:
@@ -1178,6 +1240,31 @@ def _slab_rows(cp: ClusteredPrims):
         a = _pad1(a, cpad - c, pad)
         out.append(jnp.broadcast_to(a[None, :], (8, cpad)))
     return out, cpad
+
+
+def _super_slab_rows(cp: ClusteredPrims):
+    """Supercluster AABBs as six [8, 128] lane-major planes: supercluster
+    s is the union of (up to) 128 consecutive SAH-order clusters
+    [s*128, (s+1)*128) — consecutive leaves of the SAH cut are
+    tree-adjacent, so the unions stay spatially tight. Padding lanes
+    (>= ceil(C/128)) carry inverted boxes no ray can enter. Loop-invariant
+    in the bounce loop (pure function of cp), so XLA hoists the
+    reduction."""
+    c = cp.num_clusters
+    cpad = -(-c // 128) * 128
+    s = cpad // 128
+    out = []
+    for a, pad, red in (
+        (cp.lo.x, 1e30, jnp.min), (cp.lo.y, 1e30, jnp.min),
+        (cp.lo.z, 1e30, jnp.min),
+        (cp.hi.x, -1e30, jnp.max), (cp.hi.y, -1e30, jnp.max),
+        (cp.hi.z, -1e30, jnp.max),
+    ):
+        a = _pad1(a, cpad - c, pad).reshape(s, 128)
+        sp = -(-s // 128) * 128
+        r = _pad1(red(a, axis=1), sp - s, pad)
+        out.append(jnp.broadcast_to(r[None, :], (8, sp)))
+    return out
 
 
 def _root_row(cp: ClusteredPrims):

@@ -63,7 +63,15 @@ class RendererPolicy:
     # ops/pallas/traverse_kernel.py); use_bvh=True is an alias for accel='bvh'
     pallas_mxu: bool = False  # triangle narrow phase as [R,3]x[3,3K] MXU
     # matmuls inside the traversal kernel (precision=HIGHEST); experimental
-    pallas_plan: str = "ray"  # broad phase: 'ray' = per-ray slab battery,
+    pallas_plan: str = "ray"  # broad phase: 'ray' = per-ray slab battery
+    # over all C clusters (production default at every measured scale);
+    # 'super' = two-level — slab battery over ceil(C/128) supercluster
+    # union boxes first, then cond-gated per-cluster refinement of entered
+    # supers (bit-identical visit lists; MEASURED NEGATIVE: 100k C=1130
+    # 54.0 vs 48.0 ms/pass, C=2217 58.5 vs 50.3 — the honest x64-fused
+    # decomposition puts the flat plan at ~1.4-3 ms/pass vs a
+    # walk-dominated total, and the serialized refine loop costs more than
+    # the battery volume it saves; benchmarks/RESULTS.md);
     # 'tilebox' = conservative per-tile interval slab test (~TILE_R x less
     # planning compute, superset visit lists)
     pallas_tile_rays: object = "auto"  # rays per kernel tile (accel='pallas'):

@@ -287,6 +287,35 @@ def test_plan_variants_match_ray_plan(plan):
     np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
 
 
+@pytest.mark.parametrize("P,K", [(2000, 8), (900, 8)])  # C = 250, 113
+def test_super_plan_bit_identical(P, K):
+    """The two-level (supercluster) broad phase must be BIT-identical to
+    the flat per-ray planner, not merely a superset: phase B re-runs
+    _tile_entry_row's exact arithmetic on the exact per-cluster slab values
+    for entered superclusters, and skipping a rejected super is exact
+    because the union-box entry lower-bounds every member entry. C=250
+    exercises multiple supers + a partial last one; C=113 the single-super
+    sub-128 path. Covers the in-kernel-sort planner, the unsorted
+    (suffix-min) path, and the shadow kernel."""
+    cp, _ = _sphere_setup(P=P, K=K)
+    pv, dv = _rays(512)
+    for kw in (dict(), dict(sort=False)):
+        t0, i0 = tk.intersect_clustered_pallas(
+            cp, pv, dv, tile_r=64, interpret=True, **kw
+        )
+        t1, i1 = tk.intersect_clustered_pallas(
+            cp, pv, dv, tile_r=64, interpret=True, plan="super", **kw
+        )
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    tf = jnp.where(t0 < 3e38, t0 * jnp.float32(0.99), jnp.float32(4.0))
+    o0 = tk.occluded_clustered_pallas(cp, pv, dv, tf, tile_r=64,
+                                      interpret=True)
+    o1 = tk.occluded_clustered_pallas(cp, pv, dv, tf, tile_r=64,
+                                      interpret=True, plan="super")
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+
 def test_mxu_battery_matches_vpu():
     """pallas_mxu=True (triangle narrow phase as two MXU dots) selects the
     same prims; t agrees to float rounding (different fma association)."""
