@@ -75,6 +75,53 @@ def sphere_anyhit(p, d, tf, rows):
     return (disc >= 0.0) & sel
 
 
+def _bw_planes(blk):
+    """Baldwin-Weber plane rows from packed triangle rows [K, 9]
+    (v0|e1|e2) — the same math as traverse_kernel._tables' traced
+    fallback, in float32 numpy. Returns the 12 per-prim attribute rows."""
+    v0, e1, e2 = blk[:, 0:3], blk[:, 3:6], blk[:, 6:9]
+    n = np.cross(e1, e2).astype(np.float32)
+    nn = np.sum(n * n, axis=-1)
+    inv = np.where(nn > 0.0, np.float32(1.0) / np.maximum(nn, 1e-38),
+                   np.float32(0.0))[:, None]
+    f1 = (np.cross(e2, n) * inv).astype(np.float32)
+    f2 = (-np.cross(e1, n) * inv).astype(np.float32)
+    d0 = np.sum(n * v0, axis=-1).astype(np.float32)
+    g1 = (-np.sum(f1 * v0, axis=-1)).astype(np.float32)
+    g2 = (-np.sum(f2 * v0, axis=-1)).astype(np.float32)
+    return (n[:, 0], n[:, 1], n[:, 2], d0,
+            f1[:, 0], f1[:, 1], f1[:, 2], g1,
+            f2[:, 0], f2[:, 1], f2[:, 2], g2)
+
+
+def triangle_battery(p, d, rows):
+    """[R, K] candidate t — _triangle_battery (Baldwin-Weber) semantics."""
+    (nx, ny, nz, d0, f1x, f1y, f1z, g1, f2x, f2y, f2z, g2) = (
+        r[None, :] for r in rows
+    )
+    px, py, pz = (p[:, i:i + 1] for i in range(3))
+    dx, dy, dz = (d[:, i:i + 1] for i in range(3))
+    den = nx * dx + ny * dy + nz * dz
+    num = d0 - (nx * px + ny * py + nz * pz)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (num / den).astype(np.float32)
+    qx = px + t * dx
+    qy = py + t * dy
+    qz = pz + t * dz
+    u = f1x * qx + f1y * qy + f1z * qz + g1
+    v = f2x * qx + f2y * qy + f2z * qz + g2
+    valid = (
+        (np.abs(den) > 1e-12)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > 1e-6)
+    )
+    return np.where(valid, t, FLT_MAX).astype(np.float32)
+
+
+def triangle_anyhit(p, d, tf, rows):
+    """[R, K] occlusion bits — _triangle_anyhit_battery semantics."""
+    return triangle_battery(p, d, rows) < tf[:, None]
+
+
 def root_exit_bound(p, d, root_lo, root_hi):
     """Per-ray exit distance of the root AABB (0 on total miss)."""
     inv = np.float32(1.0) / _f32(d)
@@ -86,12 +133,26 @@ def root_exit_bound(p, d, root_lo, root_hi):
     return np.where(hit, tmax * np.float32(1.0 + 1e-5), np.float32(0.0))
 
 
-def _cluster_rows(cp_rows, c, k, kind):
-    """Per-cluster attribute rows from the packed [C*K, F] table."""
-    blk = np.asarray(cp_rows, np.float32)[c * k:(c + 1) * k]
+def _cluster_rows(cp_rows, c, k, kind, planes=None):
+    """Per-cluster attribute rows from the packed [C*K, F] table. For
+    triangles, prefers the stored build-time Baldwin-Weber planes
+    (ClusteredPrims.planes — the canonical bit pattern the resident and
+    streaming kernels share) and falls back to recomputing them from the
+    v0|e1|e2 rows exactly as traverse_kernel._tables does."""
     if kind == "sphere":
+        blk = np.asarray(cp_rows, np.float32)[c * k:(c + 1) * k]
         return (blk[:, 0], blk[:, 1], blk[:, 2], blk[:, 3])
+    if kind == "triangle":
+        if planes is not None:
+            pr = np.asarray(planes, np.float32)[c * k:(c + 1) * k]
+            return tuple(pr[:, f] for f in range(12))
+        blk = np.asarray(cp_rows, np.float32)[c * k:(c + 1) * k]
+        return _bw_planes(blk)
     raise NotImplementedError(kind)
+
+
+_SIM_BATTERIES = {"sphere": sphere_battery, "triangle": triangle_battery}
+_SIM_ANYHIT = {"sphere": sphere_anyhit, "triangle": triangle_anyhit}
 
 
 def simulate_closest(cp, p, d, tfar0=None, alive=None, tile_r=64,
@@ -158,8 +219,11 @@ def simulate_closest(cp, p, d, tfar0=None, alive=None, tile_r=64,
                 if u > 0 and not (ju < n and entry[row, min(ju, n - 1)] < mx):
                     continue
                 c = int(visit[row, ju])
-                t = sphere_battery(tp, td, _cluster_rows(rows_tbl, c, k,
-                                                         cp.kind))
+                t = _SIM_BATTERIES[cp.kind](
+                    tp, td,
+                    _cluster_rows(rows_tbl, c, k, cp.kind,
+                                  getattr(cp, "planes", None)),
+                )
                 visits_executed += 1
                 best = t.min(axis=1)
                 arg = t.argmin(axis=1)  # first occurrence, matches min-iota
@@ -220,8 +284,11 @@ def simulate_shadow(cp, p, d, tfar, tile_r=64,
                 if u > 0 and not (ju < n and entry[row, min(ju, n - 1)] < mx):
                     continue
                 c = int(visit[row, ju])
-                bits = sphere_anyhit(tp, td, tf_t,
-                                     _cluster_rows(rows_tbl, c, k, cp.kind))
+                bits = _SIM_ANYHIT[cp.kind](
+                    tp, td, tf_t,
+                    _cluster_rows(rows_tbl, c, k, cp.kind,
+                                  getattr(cp, "planes", None)),
+                )
                 visits_executed += 1
                 occ |= bits.any(axis=1) & ok
             if j % 8 == (8 - w_trip) % 8:

@@ -1346,6 +1346,8 @@ def render_pass(
             ("tile", width, edge, spp) if perm is not None
             else ("raster", width, 0, spp)
         )
+        if not policy.restir_spatial_2d:  # measured A/B: CONVERGENCE.md
+            restir_geom = None
     # lane validity: 0 on the chunk-padding tail so padded lanes trace dead
     # (they'd otherwise duplicate pixel 0 at full cost and inflate ray_count)
     lane_ok = pad(jnp.ones((nrays,), jnp.float32)).reshape(-1, chunk)
@@ -1363,7 +1365,10 @@ def render_pass(
             scene.camera, cx, cy, acc_arg, cseed, policy.enable_dof, policy
         )
         res = tuple(args[4:7]) if use_restir else None
-        rxy = (args[7], args[8]) if use_restir else None
+        rxy = (
+            (args[7], args[8])
+            if use_restir and policy.restir_spatial_2d else None
+        )
         return trace_rays(scene, policy, acc_arg, cseed, p0, d0, vma_axes,
                           res_in=res, alive0=cok > 0,
                           restir_xy=rxy, restir_geom=restir_geom)

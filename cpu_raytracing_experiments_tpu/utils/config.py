@@ -202,6 +202,10 @@ class RendererPolicy:
     # and self-verified — renderer._select_light_restir). Paths without
     # per-lane pixel coords (render_pass_pixels) fall back to 1-D
     # lane-offset neighbors at this radius in ray-array order.
+    restir_spatial_2d: bool = True  # True = 2-D screen-space spatial
+    # neighborhood (round 3, self-verified coordinate gather); False =
+    # the round-2 1-D lane-offset neighborhood in ray-array order — kept
+    # selectable for the measured A/B in benchmarks/CONVERGENCE.md
     restir_reject: bool = True  # geometry-similarity rejection of spatial
     # neighbors: reuse only when normals agree within ~25 deg AND hit
     # distances within 10% — the standard ReSTIR guard against reusing

@@ -145,3 +145,139 @@ def test_random_scene_matches_brute_all_widths():
             orig = np.where(
                 prim >= 0, np.asarray(cp.order)[np.maximum(prim, 0)], -1)
             np.testing.assert_array_equal(orig, np.asarray(id_ref))
+
+
+# ---------------------------------------------------------------------------
+# Triangle (Baldwin-Weber) packs — the production mesh path's battery
+# (VERDICT round-3 weak item 8: the sim covered spheres only, so the
+# geometry kind that actually misses its perf targets was hardware-gated).
+# ---------------------------------------------------------------------------
+def _tri_quad(z, half=0.35, y0=0.0):
+    """Two triangles forming an axis-aligned square at depth z (a small
+    occluding 'wall'); rows are v0|e1|e2 per triangle."""
+    v0a = np.array([-half, y0 - half, z], np.float32)
+    e1a = np.array([2 * half, 0, 0], np.float32)
+    e2a = np.array([0, 2 * half, 0], np.float32)
+    v0b = np.array([half, y0 + half, z], np.float32)
+    e1b = -e1a
+    e2b = -e2a
+    return np.stack([np.concatenate([v0a, e1a, e2a]),
+                     np.concatenate([v0b, e1b, e2b])])
+
+
+def _spike_dip_tri_scene():
+    """Triangle analog of _spike_dip_scene: 10 blocker walls at z~3, a far
+    spike wall at z=5, then a near dip wall at z=1.2 holding the true
+    closest hit. K=8 per cluster (each cluster = 4 quads at one depth)."""
+    K = 8
+    zs = [3.0 + 0.01 * i for i in range(10)] + [5.0, 1.2]
+    rows = np.concatenate(
+        [np.concatenate([_tri_quad(z, y0=dy)
+                         for dy in (-0.3, -0.1, 0.1, 0.3)])
+         for z in zs], 0,
+    )  # 12 clusters x 8 triangles
+    pts = np.stack(
+        [rows[:, 0:3], rows[:, 0:3] + rows[:, 3:6],
+         rows[:, 0:3] + rows[:, 6:9]], 0,
+    )
+    cp = clustered.build_clusters(
+        pts.min(0), pts.max(0), rows, num_clusters=12, kind="triangle",
+    )
+    # force blob-major (depth-listed) cluster order, like the sphere case
+    lo = pts.min(0).reshape(12, K, 3).min(1)
+    hi = pts.max(0).reshape(12, K, 3).max(1)
+    from cpu_raytracing_experiments_tpu.ops.clustered import _bw_planes_np
+    cp = dc.replace(
+        cp, rows=jnp.asarray(rows),
+        order=jnp.asarray(np.arange(12 * K, dtype=np.int32)),
+        planes=jnp.asarray(_bw_planes_np(rows)),
+        lo=Vec3(*[jnp.asarray(lo[:, i]) for i in range(3)]),
+        hi=Vec3(*[jnp.asarray(hi[:, i]) for i in range(3)]),
+    )
+    R = 64
+    p0 = np.tile(np.array([[0.0, 0.0, 0.0]], np.float32), (R, 1))
+    p0[:, 1] = np.linspace(-0.2, 0.2, R)
+    d0 = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (R, 1))
+    p = Vec3(*[jnp.asarray(p0[:, i]) for i in range(3)])
+    d = Vec3(*[jnp.asarray(d0[:, i]) for i in range(3)])
+    geom = tuple(
+        Vec3(*[jnp.asarray(a[:, i]) for i in range(3)])
+        for a in (rows[:, 0:3], rows[:, 3:6], rows[:, 6:9])
+    )
+    return cp, p, d, geom
+
+
+@pytest.mark.parametrize("sort", [True, False])
+@pytest.mark.parametrize("w_trip", [1, 2, 4])
+def test_tri_spike_dip_closest_exit_fires_and_is_correct(sort, w_trip):
+    cp, p, d, geom = _spike_dip_tri_scene()
+    _, id_ref = intersect.intersect_triangles(p, d, *geom)
+    tf0 = np.full(64, sim.FLT_MAX, np.float32)
+    visit, entry, nvis = _plan(cp, p, d, tf0, sort)
+    tfar, prim, nexec = sim.simulate_closest(
+        cp, p, d, tile_r=64, visit=visit, entry=entry, nvis=nvis,
+        w_trip=w_trip)
+    orig = np.where(prim >= 0, np.asarray(cp.order)[np.maximum(prim, 0)], -1)
+    np.testing.assert_array_equal(orig, np.asarray(id_ref))
+    planned = int(np.asarray(nvis).sum())
+    if sort:
+        assert nexec < planned, (nexec, planned)
+    else:
+        assert nexec == planned, (nexec, planned)
+
+
+def test_tri_spike_dip_shadow_exit():
+    cp, p, d, geom = _spike_dip_tri_scene()
+    tf = np.full(64, 10.0, np.float32)
+    visit, entry, nvis = _plan(cp, p, d, tf, sort=True)
+    occ, nexec = sim.simulate_shadow(
+        cp, p, d, tf, tile_r=64, visit=visit, entry=entry, nvis=nvis)
+    occ_ref = np.asarray(
+        intersect.occluded_triangles(p, d, jnp.asarray(tf), *geom))
+    np.testing.assert_array_equal(occ, occ_ref)
+    assert nexec < int(np.asarray(nvis).sum())
+
+
+def test_tri_random_scene_matches_brute_all_widths():
+    """Random triangle soup, SAH clusters (the production mesh builder),
+    both planes-present and planes-recomputed table paths."""
+    rng = np.random.default_rng(11)
+    T = 120
+    v0 = rng.uniform(-4, 4, (T, 3)).astype(np.float32)
+    e1 = rng.normal(0, 0.8, (T, 3)).astype(np.float32)
+    e2 = rng.normal(0, 0.8, (T, 3)).astype(np.float32)
+    rows = np.concatenate([v0, e1, e2], 1)
+    pts = np.stack([v0, v0 + e1, v0 + e2], 0)
+    cp = clustered.build_clusters_sah(
+        pts.min(0), pts.max(0), rows, cluster_size=16, kind="triangle",
+    )
+    geom = tuple(
+        Vec3(*[jnp.asarray(a[:, i]) for i in range(3)]) for a in (v0, e1, e2)
+    )
+    R = 128
+    p0 = rng.uniform(-4, 4, (R, 3)).astype(np.float32)
+    d0 = rng.normal(size=(R, 3)).astype(np.float32)
+    d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+    p = Vec3(*[jnp.asarray(p0[:, i]) for i in range(3)])
+    d = Vec3(*[jnp.asarray(d0[:, i]) for i in range(3)])
+    t_ref, id_ref = intersect.intersect_triangles(p, d, *geom)
+    tf0 = np.full(R, sim.FLT_MAX, np.float32)
+    for cp_case in (cp, dc.replace(cp, planes=None)):
+        for sort in (True, False):
+            visit, entry, nvis = _plan(cp_case, p, d, tf0, sort)
+            for w in (1, 4):
+                tfar, prim, _ = sim.simulate_closest(
+                    cp_case, p, d, tile_r=64, visit=visit, entry=entry,
+                    nvis=nvis, w_trip=w)
+                orig = np.where(
+                    prim >= 0,
+                    np.asarray(cp_case.order)[np.maximum(prim, 0)], -1)
+                np.testing.assert_array_equal(orig, np.asarray(id_ref))
+    # shadow parity on the default cp
+    tfs = jnp.asarray(rng.uniform(0.5, 12.0, R).astype(np.float32))
+    visit, entry, nvis = _plan(cp, p, d, np.asarray(tfs), sort=True)
+    occ, _ = sim.simulate_shadow(
+        cp, p, d, np.asarray(tfs), tile_r=64, visit=visit, entry=entry,
+        nvis=nvis)
+    occ_ref = np.asarray(intersect.occluded_triangles(p, d, tfs, *geom))
+    np.testing.assert_array_equal(occ, occ_ref)
