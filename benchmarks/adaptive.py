@@ -48,6 +48,16 @@ def main():
         def mse(img):
             return float(np.mean((np.clip(img, 0, 20) - tclip) ** 2))
 
+        # steady-state walls: compile both paths once before the timed
+        # ladder (the adaptive loop's first trace costs minutes; without
+        # this the first table row absorbs it and the wall column is
+        # meaningless — the round-3 VERDICT's complaint)
+        rw = Renderer(scene, pol, W, H)
+        rw.accumulate(5)
+        rw.render(tonemap=False)
+        rw2 = Renderer(scene, pol, W, H)
+        rw2.render_adaptive(tol=0.08, max_spp=50, warmup=25, tonemap=False)
+
         rows = []
         for spp in (50, 100, 200, 400):
             ru = Renderer(scene, pol, W, H)
