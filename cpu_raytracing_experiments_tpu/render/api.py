@@ -115,7 +115,10 @@ class Renderer:
             self.state, self.policy, self.scene.camera.exposure,
             self.width, self.height, tonemap,
         )
-        return np.asarray(img)[::-1]
+        # explicit transfer: keeps every device->host pull in this class
+        # auditable under jax.transfer_guard_device_to_host("disallow")
+        # (tests/test_adaptive.py::test_adaptive_host_traffic_is_explicit)
+        return jax.device_get(img)[::-1]
 
     # -- convenience ---------------------------------------------------------
     def render_spp(self, spp: int, tonemap: bool = True) -> np.ndarray:
@@ -194,11 +197,19 @@ class Renderer:
         b = self.policy.accumulation_buckets
         npix = self.width * self.height
         warmup = -(-(warmup or 4 * b) // b) * b
-        # resume-aware: a loaded checkpoint may already be past warmup
-        need = max(0, warmup - int(self.state.accumulations))
+        # resume-aware: a loaded checkpoint may already be past warmup.
+        # `accumulations` advances by exactly b per adaptive round, so the
+        # host tracks it (acc_host) instead of syncing the device counter
+        # every round — with the two jax.device_get scalars below, the
+        # round loop's ONLY device->host traffic is (n_traced, n_next),
+        # enforced by tests/test_adaptive.py under a
+        # transfer_guard_device_to_host("disallow") scope.
+        acc_host = int(jax.device_get(self.state.accumulations))
+        need = max(0, warmup - acc_host)
         need = -(-need // b) * b
         if need:
             self.accumulate(need)
+            acc_host += need
         traced = need * npix
         # static-size tiers so each subset size compiles once
         tiers = []
@@ -207,8 +218,9 @@ class Renderer:
             tiers.append(t)
             t //= 2
         tol_j = jnp.float32(tol)
-        n_active = int(_count_active_jit(self.state, self.policy, tol_j))
-        while int(self.state.accumulations) < max_spp:
+        n_active = int(jax.device_get(
+            _count_active_jit(self.state, self.policy, tol_j)))
+        while acc_host < max_spp:
             if n_active == 0:
                 break
             tier = next((t for t in reversed(tiers) if t >= n_active), npix)
@@ -216,14 +228,15 @@ class Renderer:
                 self.scene, self.policy, self.state, self.width,
                 self.height, tol_j, tier,
             )
-            traced += b * int(n_traced)
-            n_active = int(n_next)
+            traced += b * int(jax.device_get(n_traced))
+            n_active = int(jax.device_get(n_next))
+            acc_host += b
         img = self.render(tonemap=tonemap)
-        uniform_equiv = int(self.state.accumulations) * npix
+        uniform_equiv = acc_host * npix
         counts = (
-            np.asarray(self.state.counts)
+            jax.device_get(self.state.counts)
             if self.state.counts is not None
-            else np.full(npix, float(self.state.accumulations))
+            else np.full(npix, float(acc_host))
         )
         stats = {
             "samples_traced": int(traced),

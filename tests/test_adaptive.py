@@ -72,3 +72,21 @@ def test_count_aware_resolve_scales_per_pixel():
     # both pixels' per-pass mean is 1.0 despite different counts
     np.testing.assert_allclose(img[0], 1.0, rtol=1e-6)
     np.testing.assert_allclose(img[1], 1.0, rtol=1e-6)
+
+
+def test_adaptive_host_traffic_is_explicit_scalars_only():
+    """VERDICT r3 item 3's evidence, made structural: under a
+    device->host transfer guard that rejects every IMPLICIT pull, the
+    whole render_adaptive call must still run — i.e. the round loop's
+    only boundary crossings are the explicit jax.device_get scalars
+    (n_traced, n_next) plus the warmup counter read and the final
+    resolve/stats pulls, all explicit. A stray np.asarray/float()/int()
+    on device state anywhere in the loop fails this test."""
+    import jax
+
+    scene = builders.default_scene(W, H)
+    r = Renderer(scene, POL, W, H)
+    with jax.transfer_guard_device_to_host("disallow"):
+        img, stats = r.render_adaptive(tol=0.15, max_spp=40, warmup=10)
+    assert np.isfinite(img).all()
+    assert stats["samples_traced"] > 0
