@@ -66,6 +66,68 @@ def _adaptive_round_jit(scene, policy, state, width, height, tol, tier):
     return state, n_traced, n_next
 
 
+@partial(
+    jax.jit,
+    static_argnames=("policy", "width", "height", "tier", "last_tier"),
+    donate_argnames=("state",),
+)
+def _adaptive_tier_jit(scene, policy, state, width, height, tol, tier,
+                       max_rounds, last_tier):
+    """ALL adaptive rounds at one tier size in ONE dispatch (round 4): a
+    device-side while_loop repeats _adaptive_round_jit's body while the
+    active count still needs this tier (n_active > tier//2 — exactly the
+    host's smallest-tier->=n_active re-selection rule, so the traced round
+    sequence is bit-identical to the per-round dispatch) and the
+    `max_rounds` pass budget remains. At 256x256 the per-round version
+    cost one ~0.1-0.35 s tunnel round-trip x ~75 rounds — the dominant
+    adaptive wall-clock after round 3's fix; this caps dispatches at the
+    number of tier SIZES (<= 8) instead of rounds."""
+    # continue exactly while the host's tier rule (smallest tier >=
+    # n_active, npix default) would re-select THIS tier: the bucket-spread
+    # stderr can grow with new samples, so n_active may outgrow the tier —
+    # then control returns to the host, which re-picks a larger one
+    floor = jnp.int32(0 if last_tier else tier // 2)
+    cap = jnp.int32(tier if tier != width * height else (1 << 30))
+
+    def cond(st):
+        state, traced, n_active, rounds = st
+        return ((n_active > floor) & (n_active <= cap)
+                & (rounds < max_rounds))
+
+    def body(st):
+        state, traced, n_active, rounds = st
+        se = estimator.pixel_stderr(state)
+        order = jnp.argsort(-se)[:tier].astype(jnp.int32)
+        valid = se[order] > tol
+        n_traced = jnp.sum(valid.astype(jnp.int32))
+        for _ in range(policy.accumulation_buckets):
+            state = estimator.accumulate_pixels(
+                scene, policy, state, width, height, order, valid
+            )
+        n_next = jnp.sum(
+            (estimator.pixel_stderr(state) > tol).astype(jnp.int32)
+        )
+        return state, traced + n_traced, n_next, rounds + 1
+
+    if state.counts is None:
+        # accumulate_pixels materializes counts on first use; the loop
+        # carry needs a stable pytree structure, so materialize up front
+        import dataclasses as _dc
+
+        state = _dc.replace(
+            state,
+            counts=jnp.full(
+                (state.buckets.shape[-1],),
+                state.accumulations.astype(jnp.float32),
+            ),
+        )
+    n0 = jnp.sum((estimator.pixel_stderr(state) > tol).astype(jnp.int32))
+    state, traced, n_active, rounds = jax.lax.while_loop(
+        cond, body, (state, jnp.int32(0), n0, jnp.int32(0))
+    )
+    return state, traced, n_active, rounds
+
+
 class Renderer:
     """Progressive accumulator with the reference's invalidation semantics:
     any scene edit -> reset_accumulator(); renders continue indefinitely and
@@ -185,13 +247,15 @@ class Renderer:
         Returns (image, stats) with stats = {'samples_traced',
         'uniform_equivalent', 'saved_fraction', 'max_spp_pixel'}.
 
-        Device-resident (round 3): the variance decision, worst-first
-        pixel selection, and all `buckets` subset passes of a round run in
-        ONE jitted dispatch (_adaptive_round_jit); only the active-pixel
-        counts come back to the host, which uses them solely to pick the
-        next round's static tier size and to stop. The previous
-        host-driven loop fetched the full bucket array every round and
-        cost ~16x the rays it saved in wall-clock."""
+        Device-resident (round 3), tier-batched (round 4): the variance
+        decision, worst-first pixel selection, and EVERY round at one tier
+        size run in ONE jitted dispatch (_adaptive_tier_jit's device-side
+        while_loop); only (pixels traced, active count, rounds run) come
+        back, which the host uses solely to pick the next static tier and
+        to stop — at most one dispatch per tier size (<= 8) per render.
+        The round-2 host loop fetched the full bucket array every round
+        (~16x wall-clock); the round-3 per-round dispatch still paid one
+        tunnel round-trip per round (~75 at 256x256)."""
         import numpy as np
 
         b = self.policy.accumulation_buckets
@@ -220,17 +284,22 @@ class Renderer:
         tol_j = jnp.float32(tol)
         n_active = int(jax.device_get(
             _count_active_jit(self.state, self.policy, tol_j)))
+        min_tier = tiers[-1]
         while acc_host < max_spp:
             if n_active == 0:
                 break
             tier = next((t for t in reversed(tiers) if t >= n_active), npix)
-            self.state, n_traced, n_next = _adaptive_round_jit(
+            max_rounds = (max_spp - acc_host) // b
+            if max_rounds == 0:
+                break
+            self.state, n_traced, n_next, rounds = _adaptive_tier_jit(
                 self.scene, self.policy, self.state, self.width,
-                self.height, tol_j, tier,
+                self.height, tol_j, tier, jnp.int32(max_rounds),
+                tier == min_tier,
             )
             traced += b * int(jax.device_get(n_traced))
             n_active = int(jax.device_get(n_next))
-            acc_host += b
+            acc_host += b * int(jax.device_get(rounds))
         img = self.render(tonemap=tonemap)
         uniform_equiv = acc_host * npix
         counts = (
