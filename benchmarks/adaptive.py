@@ -58,21 +58,33 @@ def main():
         rw2 = Renderer(scene, pol, W, H)
         rw2.render_adaptive(tol=0.08, max_spp=50, warmup=25, tonemap=False)
 
+        # each (mode, param) is run twice and the best wall kept: the first
+        # run of a new spp value / tier size compiles its fused loop
+        # (static n / static tier), which is one-time cost, not throughput
         rows = []
         for spp in (50, 100, 200, 400):
-            ru = Renderer(scene, pol, W, H)
-            t0 = time.perf_counter()
-            ru.accumulate(spp)
-            img = ru.render(tonemap=False)
-            rows.append(("uniform", spp * W * H, mse(img),
-                         time.perf_counter() - t0))
+            best = (None, 1e30)
+            for _ in range(2):
+                ru = Renderer(scene, pol, W, H)
+                t0 = time.perf_counter()
+                ru.accumulate(spp)
+                img = ru.render(tonemap=False)
+                dt = time.perf_counter() - t0
+                if dt < best[1]:
+                    best = (img, dt)
+            rows.append(("uniform", spp * W * H, mse(best[0]), best[1]))
         for tol in (0.08, 0.04, 0.02, 0.01):
-            ra = Renderer(scene, pol, W, H)
-            t0 = time.perf_counter()
-            img, stats = ra.render_adaptive(tol=tol, max_spp=400, warmup=25,
-                                            tonemap=False)
-            rows.append((f"adaptive tol={tol}", stats["samples_traced"],
-                         mse(img), time.perf_counter() - t0))
+            best = (None, None, 1e30)
+            for _ in range(2):
+                ra = Renderer(scene, pol, W, H)
+                t0 = time.perf_counter()
+                img, stats = ra.render_adaptive(tol=tol, max_spp=400,
+                                                warmup=25, tonemap=False)
+                dt = time.perf_counter() - t0
+                if dt < best[2]:
+                    best = (img, stats, dt)
+            rows.append((f"adaptive tol={tol}", best[1]["samples_traced"],
+                         mse(best[0]), best[2]))
         lines.append(f"### {name}")
         lines.append("")
         lines.append("| schedule | samples traced | MSE | wall s |")
