@@ -75,7 +75,8 @@ def _tile_for(kw: dict, cp) -> dict:
         # pallas_stream/pallas_mxu policy composes with mixed pack sizes
         kw = dict(kw, stream=False, mxu=False)
     if kw.get("stream"):
-        kw = dict(kw, mxu=False, fuse=False, unroll=1, trav_block=1)
+        kw = dict(kw, mxu=False, fuse=False, unroll=1, trav_block=1,
+                  prefetch=False)
     return kw
 
 
@@ -86,7 +87,7 @@ def _pallas_kw(policy) -> dict:
                 "sort_impl": "kernel", "compact": False,
                 "interpret": False, "mxu": False, "plan": "ray",
                 "plan_block": 8, "unroll": 1, "fuse": "auto", "trav_block": 1,
-                "stream": "auto"}
+                "stream": "auto", "exit_refresh": 8, "prefetch": False}
     return {
         "tile_r": policy.pallas_tile_rays,
         "sort": policy.pallas_sort_visits,
@@ -100,6 +101,8 @@ def _pallas_kw(policy) -> dict:
         "fuse": policy.pallas_fuse,
         "trav_block": policy.pallas_trav_block,
         "stream": policy.pallas_stream,
+        "exit_refresh": policy.pallas_exit_refresh,
+        "prefetch": policy.pallas_prefetch,
     }
 
 

@@ -691,7 +691,7 @@ def _pack_rows(attrs, cs_group, lane_grp, k_prims):
 
 def _make_closest_kernel(kind: str, k_prims: int, mxu: bool = False,
                          unroll: int = 1, fuse=False, tb: int = 1,
-                         pack: int = 1):
+                         pack: int = 1, er: int = 8, prefetch: bool = False):
     battery = _BATTERIES[kind]
     use_mxu = mxu and kind == "triangle"
     n_attr = _N_ATTRS[kind]
@@ -777,12 +777,12 @@ def _make_closest_kernel(kind: str, k_prims: int, mxu: bool = False,
                         def _(ju=ju):
                             visit_one(ju)
 
-                    # refresh the early-exit bound only every 8th visit: the
-                    # cross-sublane max -> SMEM write is a VPU->scalar sync
-                    # that would otherwise serialize the scalar unit against
-                    # every battery; a stale mx is LARGER, so the exit stays
-                    # conservative
-                    @pl.when(jax.lax.rem(j, 8) == 8 - unroll)
+                    # refresh the early-exit bound only every `er`-th visit:
+                    # the cross-sublane max -> SMEM write is a VPU->scalar
+                    # sync that would otherwise serialize the scalar unit
+                    # against every battery; a stale mx is LARGER, so the
+                    # exit stays conservative
+                    @pl.when(jax.lax.rem(j, er) == er - unroll)
                     def _():
                         mx[0, 0] = jnp.max(
                             jnp.where(
@@ -813,20 +813,29 @@ def _make_closest_kernel(kind: str, k_prims: int, mxu: bool = False,
                 # a partially-live group are forced to FLT_MAX.
                 w = fw * pack
 
-                def cond(state):
-                    j = state[0]
-                    return (j < n) & (entry[row, j] < mx[0, 0])
-
-                def body(state):
-                    j, tfc, prc = state
-                    cs, uses = [], []
+                def read_trip(j):
+                    """Scalar SMEM reads for the trip starting at visit j.
+                    visit/entry are loop-invariant inputs, so values read a
+                    trip early (prefetch mode) are identical to values read
+                    at the trip itself. The lower clamp matters only for the
+                    pre-loop prefetch of an empty (n == 0) visit list, whose
+                    values are never used."""
+                    nm1 = jnp.maximum(n - 1, 0)
+                    cs, es = [], []
                     for u2 in range(w):
-                        ju = jnp.minimum(j + u2, n - 1)
+                        ju = jnp.minimum(j + u2, nm1)
                         cs.append(visit[row, ju])
-                        uses.append(
-                            None if u2 == 0
-                            else (j + u2 < n) & (entry[row, ju] < mx[0, 0])
-                        )
+                        es.append(entry[row, ju])
+                    return tuple(cs), tuple(es)
+
+                def trip(j, cs, es, tfc, prc):
+                    """One fused trip: w = fw*pack cluster batteries with
+                    the shared select/early-exit epilogue. `es[u2]` is
+                    entry[row, j+u2] (however it was fetched)."""
+                    uses = [None] + [
+                        (j + u2 < n) & (es[u2] < mx[0, 0])
+                        for u2 in range(1, w)
+                    ]
                     ts = []
                     for b in range(fw):
                         grp = cs[b * pack:(b + 1) * pack]
@@ -864,19 +873,54 @@ def _make_closest_kernel(kind: str, k_prims: int, mxu: bool = False,
 
                     tfc, prc = select_best(t, tfc, prc, packed_of)
 
-                    @pl.when(jax.lax.rem(j, 8) == (8 - w) % 8)
+                    @pl.when(jax.lax.rem(j, er) == (er - w) % er)
                     def _():
                         mx[0, 0] = jnp.max(
                             jnp.where(ok, jnp.minimum(tfc, bound), -FLT_MAX)
                         )
 
-                    return j + w, tfc, prc
+                    return tfc, prc
 
-                _, tfc, prc = jax.lax.while_loop(
-                    cond, body,
-                    (jnp.int32(0), tf0,
-                     jnp.full((px.shape[0] // tb, 1), -1, jnp.int32)),
-                )
+                init = (jnp.int32(0), tf0,
+                        jnp.full((px.shape[0] // tb, 1), -1, jnp.int32))
+                if not prefetch:
+                    def cond(state):
+                        j = state[0]
+                        return (j < n) & (entry[row, j] < mx[0, 0])
+
+                    def body(state):
+                        j, tfc, prc = state
+                        cs, es = read_trip(j)
+                        tfc, prc = trip(j, cs, es, tfc, prc)
+                        return j + w, tfc, prc
+
+                    _, tfc, prc = jax.lax.while_loop(cond, body, init)
+                else:
+                    # Prefetched walk: the NEXT trip's visit/entry scalars
+                    # ride the loop carry, fetched at the END of the
+                    # previous body — the scalar unit resolves trip j+w's
+                    # cluster addresses while the VPU is still draining
+                    # trip j's batteries, and the loop cond tests the
+                    # carried entry instead of a fresh SMEM load.
+                    # Bit-exact: visit/entry are loop-invariant (see
+                    # read_trip) and mx is read at the same program points.
+                    cs0, es0 = read_trip(jnp.int32(0))
+
+                    def cond(state):
+                        j, _cs, es = state[0], state[1], state[2]
+                        return (j < n) & (es[0] < mx[0, 0])
+
+                    def body(state):
+                        j, cs, es, tfc, prc = state
+                        tfc, prc = trip(j, cs, es, tfc, prc)
+                        jn = j + w
+                        ncs, nes = read_trip(jn)
+                        return jn, ncs, nes, tfc, prc
+
+                    _, _, _, tfc, prc = jax.lax.while_loop(
+                        cond, body,
+                        (init[0], cs0, es0, init[1], init[2]),
+                    )
                 tfar_out[s, :] = tfc
                 prim_out[s, :] = prc
             return 0
@@ -896,7 +940,7 @@ def _make_closest_kernel(kind: str, k_prims: int, mxu: bool = False,
 
 def _make_shadow_kernel(kind: str, k_prims: int = 0, mxu: bool = False,
                         unroll: int = 1, fuse=False, tb: int = 1,
-                        pack: int = 1):
+                        pack: int = 1, er: int = 8, prefetch: bool = False):
     battery = _ANYHIT_BATTERIES[kind]
     use_mxu = mxu and kind == "triangle"
     n_attr = _N_ATTRS[kind]
@@ -959,7 +1003,7 @@ def _make_shadow_kernel(kind: str, k_prims: int = 0, mxu: bool = False,
                         def _(ju=ju):
                             visit_one(ju)
 
-                    @pl.when(jax.lax.rem(j, 8) == 8 - unroll)
+                    @pl.when(jax.lax.rem(j, er) == er - unroll)
                     def _():
                         live = ok & (occ_out[s, :] == 0)
                         mx[0, 0] = jnp.max(jnp.where(live, bound, -FLT_MAX))
@@ -977,20 +1021,21 @@ def _make_shadow_kernel(kind: str, k_prims: int = 0, mxu: bool = False,
                 # groups mask ungated lanes off before the reduction.
                 w = fw * pack
 
-                def cond(state):
-                    j = state[0]
-                    return (j < n) & (entry[row, j] < mx[0, 0])
-
-                def body(state):
-                    j, occv = state
-                    cs, uses = [], []
+                def read_trip(j):
+                    # see the closest kernel's read_trip
+                    nm1 = jnp.maximum(n - 1, 0)
+                    cs, es = [], []
                     for u2 in range(w):
-                        ju = jnp.minimum(j + u2, n - 1)
+                        ju = jnp.minimum(j + u2, nm1)
                         cs.append(visit[row, ju])
-                        uses.append(
-                            None if u2 == 0
-                            else (j + u2 < n) & (entry[row, ju] < mx[0, 0])
-                        )
+                        es.append(entry[row, ju])
+                    return tuple(cs), tuple(es)
+
+                def trip(j, cs, es, occv):
+                    uses = [None] + [
+                        (j + u2 < n) & (es[u2] < mx[0, 0])
+                        for u2 in range(1, w)
+                    ]
                     hit = None
                     for b in range(fw):
                         grp = cs[b * pack:(b + 1) * pack]
@@ -1015,18 +1060,45 @@ def _make_shadow_kernel(kind: str, k_prims: int = 0, mxu: bool = False,
                     hit = hit & ok
                     occv = jnp.where(hit, 1, occv)
 
-                    @pl.when(jax.lax.rem(j, 8) == (8 - w) % 8)
+                    @pl.when(jax.lax.rem(j, er) == (er - w) % er)
                     def _():
                         live = ok & (occv == 0)
                         mx[0, 0] = jnp.max(jnp.where(live, bound, -FLT_MAX))
 
-                    return j + w, occv
+                    return occv
 
-                _, occv = jax.lax.while_loop(
-                    cond, body,
-                    (jnp.int32(0),
-                     jnp.zeros((px.shape[0] // tb, 1), jnp.int32)),
-                )
+                occ0 = jnp.zeros((px.shape[0] // tb, 1), jnp.int32)
+                if not prefetch:
+                    def cond(state):
+                        j = state[0]
+                        return (j < n) & (entry[row, j] < mx[0, 0])
+
+                    def body(state):
+                        j, occv = state
+                        cs, es = read_trip(j)
+                        return j + w, trip(j, cs, es, occv)
+
+                    _, occv = jax.lax.while_loop(
+                        cond, body, (jnp.int32(0), occ0)
+                    )
+                else:
+                    # see the closest kernel's prefetched walk
+                    cs0, es0 = read_trip(jnp.int32(0))
+
+                    def cond(state):
+                        j, _cs, es = state[0], state[1], state[2]
+                        return (j < n) & (es[0] < mx[0, 0])
+
+                    def body(state):
+                        j, cs, es, occv = state
+                        occv = trip(j, cs, es, occv)
+                        jn = j + w
+                        ncs, nes = read_trip(jn)
+                        return jn, ncs, nes, occv
+
+                    _, _, _, occv = jax.lax.while_loop(
+                        cond, body, (jnp.int32(0), cs0, es0, occ0)
+                    )
                 occ_out[s, :] = occv
             return 0
 
@@ -1289,7 +1361,8 @@ def _ray_cols(arrs, rp):
 @functools.partial(
     jax.jit,
     static_argnames=("tile_r", "sort", "sort_impl", "interpret", "mxu", "plan",
-                     "plan_block", "unroll", "fuse", "trav_block", "stream"),
+                     "plan_block", "unroll", "fuse", "trav_block", "stream",
+                     "exit_refresh", "prefetch"),
 )
 def intersect_clustered_pallas(
     cp: ClusteredPrims,
@@ -1308,6 +1381,8 @@ def intersect_clustered_pallas(
     fuse: bool = False,
     trav_block: int = 1,
     stream: bool = False,
+    exit_refresh: int = 8,
+    prefetch: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Closest hit. Returns (tfar [R], prim_id [R] in ORIGINAL numbering,
     -1 = miss). `tfar0` seeds the search; `alive=False` lanes are planned
@@ -1319,12 +1394,19 @@ def intersect_clustered_pallas(
     program (8 = one whole SMEM block, amortizing per-program fixed cost).
     `stream` keeps the attribute tables in HBM and DMAs each visit's
     cluster into a double-buffered VMEM scratch (scenes beyond the VMEM
-    residency ceiling; excludes mxu/fuse/unroll/trav_block)."""
+    residency ceiling; excludes mxu/fuse/unroll/trav_block).
+    `exit_refresh` = visits between early-exit bound refreshes (each is a
+    VPU->scalar sync; larger runs the scalar unit further ahead at the
+    cost of a staler — always conservative — exit bound). `prefetch`
+    carries the next trip's visit/entry scalars in the walk loop state
+    (fused modes only). Both bit-exact."""
     assert unroll in (1, 2, 4, 8), unroll
     assert _fuse_width(fuse) in (0, 2, 4), fuse
     assert not (fuse and unroll != 1), (fuse, unroll)
     assert trav_block in (1, 8), trav_block
     assert not (stream and (mxu or fuse or unroll != 1 or trav_block != 1))
+    assert exit_refresh in (8, 16, 32, 64), exit_refresh
+    assert not (prefetch and stream), "prefetch applies to resident walks"
     num_rays = p.x.shape[0]
     tfar0 = jnp.full((num_rays,), FLT_MAX) if tfar0 is None else tfar0
     t_tiles = -(-(-(-num_rays // tile_r)) // 8) * 8
@@ -1391,7 +1473,7 @@ def intersect_clustered_pallas(
     else:
         tfar, prim = pl.pallas_call(
             _make_closest_kernel(cp.kind, k, mxu, unroll, fuse, trav_block,
-                                 pack),
+                                 pack, exit_refresh, prefetch),
             grid=(t_tiles // trav_block,),
             in_specs=[smem_row(1), smem_row(c), smem_row(c), root_spec]
             + [col] * 8 + [table] * n_attr,
@@ -1413,7 +1495,8 @@ def intersect_clustered_pallas(
 @functools.partial(
     jax.jit,
     static_argnames=("tile_r", "sort", "sort_impl", "interpret", "mxu", "plan",
-                     "plan_block", "unroll", "fuse", "trav_block", "stream"),
+                     "plan_block", "unroll", "fuse", "trav_block", "stream",
+                     "exit_refresh", "prefetch"),
 )
 def occluded_clustered_pallas(
     cp: ClusteredPrims,
@@ -1431,15 +1514,20 @@ def occluded_clustered_pallas(
     fuse: bool = False,
     trav_block: int = 1,
     stream: bool = False,
+    exit_refresh: int = 8,
+    prefetch: bool = False,
 ) -> jnp.ndarray:
     """Any-hit: True where some prim lies at t in [0, tfar). Lanes with
     tfar <= 0 plan no visits (the renderer masks invalid shadow rays by
-    tfar=0, renderer.py shadow-trace contract)."""
+    tfar=0, renderer.py shadow-trace contract). exit_refresh/prefetch as
+    in intersect_clustered_pallas."""
     assert unroll in (1, 2, 4, 8), unroll
     assert _fuse_width(fuse) in (0, 2, 4), fuse
     assert not (fuse and unroll != 1), (fuse, unroll)
     assert trav_block in (1, 8), trav_block
     assert not (stream and (mxu or fuse or unroll != 1 or trav_block != 1))
+    assert exit_refresh in (8, 16, 32, 64), exit_refresh
+    assert not (prefetch and stream), "prefetch applies to resident walks"
     num_rays = p.x.shape[0]
     t_tiles = -(-(-(-num_rays // tile_r)) // 8) * 8
     rp = t_tiles * tile_r
@@ -1493,7 +1581,7 @@ def occluded_clustered_pallas(
     else:
         occ = pl.pallas_call(
             _make_shadow_kernel(cp.kind, k, mxu, unroll, fuse, trav_block,
-                                pack),
+                                pack, exit_refresh, prefetch),
             grid=(t_tiles // trav_block,),
             in_specs=[smem_row(1), smem_row(c), smem_row(c), root_spec]
             + [col] * 8 + [table] * n_attr,
@@ -1587,7 +1675,8 @@ def intersect_clustered_pallas_compact(
     sort: bool = True, sort_impl: str = "kernel", interpret: bool = False,
     seg_len: int = DEFAULT_SEG_LEN, mxu: bool = False, plan: str = "ray",
     plan_block: int = 8, unroll: int = 1, fuse: bool = False,
-    trav_block: int = 1, stream: bool = False,
+    trav_block: int = 1, stream: bool = False, exit_refresh: int = 8,
+    prefetch: bool = False,
 ):
     r = alive.shape[0]
     order, inv, rp = coherence_order(alive, d, seg_len)
@@ -1599,7 +1688,8 @@ def intersect_clustered_pallas_compact(
         alive=_pad1(alive, rp - r, False)[order],
         tile_r=tile_r, sort=sort, sort_impl=sort_impl, interpret=interpret,
         mxu=mxu, plan=plan, plan_block=plan_block, unroll=unroll, fuse=fuse,
-        trav_block=trav_block, stream=stream,
+        trav_block=trav_block, stream=stream, exit_refresh=exit_refresh,
+        prefetch=prefetch,
     )
     return tfar[inv[:r]], prim[inv[:r]]
 
@@ -1615,7 +1705,7 @@ def occluded_clustered_pallas_compact(
     seg_len: int = DEFAULT_SEG_LEN,
     mxu: bool = False, plan: str = "ray", plan_block: int = 8,
     unroll: int = 1, fuse: bool = False, trav_block: int = 1,
-    stream: bool = False,
+    stream: bool = False, exit_refresh: int = 8, prefetch: bool = False,
 ):
     r = tfar.shape[0]
     order, inv, rp = coherence_order(tfar > 0.0, d, seg_len)
@@ -1626,7 +1716,8 @@ def occluded_clustered_pallas_compact(
         _pad1(tfar, rp - r, 0.0)[order],
         tile_r=tile_r, sort=sort, sort_impl=sort_impl, interpret=interpret,
         mxu=mxu, plan=plan, plan_block=plan_block, unroll=unroll, fuse=fuse,
-        trav_block=trav_block, stream=stream,
+        trav_block=trav_block, stream=stream, exit_refresh=exit_refresh,
+        prefetch=prefetch,
     )
     return occ[inv[:r]]
 

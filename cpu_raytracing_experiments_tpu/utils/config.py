@@ -108,6 +108,18 @@ class RendererPolicy:
     # (1|8): 8 = one whole SMEM visit-list block per program, amortizing
     # per-program fixed cost (a zero-work traversal measures ~5 us/tile);
     # bit-exact knob
+    pallas_exit_refresh: int = 8  # visits between early-exit bound
+    # refreshes in the traversal walk (8|16|32|64). Each refresh is a
+    # cross-sublane max -> SMEM write the scalar cond then reads — a
+    # VPU->scalar sync that caps how far the scalar unit runs ahead of the
+    # batteries. Larger = fewer syncs, staler (always conservative) exit
+    # bound; bit-exact knob (extra visits past the bound can't change hits)
+    pallas_prefetch: bool = False  # carry the NEXT trip's visit/entry
+    # scalars in the walk-loop state, fetched at the end of the previous
+    # trip, so cluster addresses are ready before the batteries drain and
+    # the loop cond tests a carried scalar instead of a fresh SMEM load.
+    # Fused-visit modes only (serial walks ignore it); bit-exact knob —
+    # visit/entry are loop-invariant and mx reads keep their program points
     pallas_stream: object = "auto"  # True | False | 'auto': keep cluster
     # attribute tables in HBM and DMA each visit's rows into a
     # double-buffered VMEM scratch (prefetching one cluster ahead) instead
@@ -245,6 +257,9 @@ class RendererPolicy:
             "pallas_fuse replaces the unroll schedule (fused visits)"
         )
         assert self.pallas_trav_block in (1, 8), self.pallas_trav_block
+        assert self.pallas_exit_refresh in (8, 16, 32, 64), (
+            self.pallas_exit_refresh)
+        assert self.pallas_prefetch in (True, False), self.pallas_prefetch
         assert self.pallas_stream in (True, False, "auto"), self.pallas_stream
         assert self.primary_accel in (
             None, "brute", "bvh", "grid", "clustered", "pallas"

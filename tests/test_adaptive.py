@@ -2,6 +2,7 @@
 estimator.accumulate_pixels): only unconverged pixels are traced after
 warmup; the count-aware median-of-means resolve stays exact."""
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -14,6 +15,7 @@ W = H = 32
 POL = RendererPolicy(max_bounces=3, rays_per_chunk=2048)
 
 
+@pytest.mark.slow
 def test_adaptive_tol0_matches_uniform_bit_exact():
     """With tol=0 every nonzero-variance pixel stays active, and the
     count-aware resolve must reproduce the uniform render exactly."""
@@ -27,6 +29,7 @@ def test_adaptive_tol0_matches_uniform_bit_exact():
     assert stats["samples_traced"] <= stats["uniform_equivalent"]
 
 
+@pytest.mark.slow
 def test_adaptive_saves_rays():
     scene = builders.default_scene(W, H)
     r = Renderer(scene, POL, W, H)

@@ -1,5 +1,6 @@
 """BVH builder + stackless traversal vs brute-force oracle."""
 import dataclasses
+import pytest
 
 import numpy as np
 import jax.numpy as jnp
@@ -107,6 +108,7 @@ def test_shadow_traversal_matches_brute_force():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_bvh_render_matches_brute_force():
     """Full render with BVH on == brute force, up to intersection ties."""
     scene = scene_builders.bvh_test_scene(32, 32)

@@ -1,5 +1,6 @@
 """AOV-guided a-trous denoiser tests."""
 import numpy as np
+import pytest
 
 from cpu_raytracing_experiments_tpu.render import denoise
 from cpu_raytracing_experiments_tpu.render.api import Renderer
@@ -13,6 +14,7 @@ def _hf(img):
     return float(np.abs(np.diff(img, axis=0)).mean() + np.abs(np.diff(img, axis=1)).mean())
 
 
+@pytest.mark.slow
 def test_denoise_reduces_noise_preserves_mean_and_edges():
     scene = builders.default_scene(96, 96)
     r = Renderer(scene, POL, 96, 96)
@@ -34,6 +36,7 @@ def test_denoise_reduces_noise_preserves_mean_and_edges():
     assert (den[sky].sum(-1) < 0.05).mean() > 0.97
 
 
+@pytest.mark.slow
 def test_denoise_white_furnace_identity_ish():
     """A constant image stays constant (no hallucinated structure)."""
     scene = builders.white_furnace_scene(48, 48)
@@ -44,6 +47,7 @@ def test_denoise_white_furnace_identity_ish():
     np.testing.assert_allclose(den, base, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_variance_guided_denoise():
     """Variance-guided luminance stop: runs, returns finite images, and is
     a no-op relative to the fixed-sigma path when variance is zero (the

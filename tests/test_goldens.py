@@ -83,7 +83,15 @@ def test_golden_dof():
     _check("dof", _render(scene, pol))
 
 
-@pytest.mark.parametrize("accel", ["bvh", "grid", "clustered", "pallas"])
+@pytest.mark.parametrize(
+    "accel",
+    [
+        "bvh",
+        pytest.param("grid", marks=pytest.mark.slow),
+        "clustered",
+        pytest.param("pallas", marks=pytest.mark.slow),
+    ],
+)
 def test_golden_accel_cross_check(accel):
     """Every acceleration backend must reproduce the SAME image as the brute
     battery on the 255-sphere BVH_test scene — the backends differ only in
@@ -108,6 +116,7 @@ def test_golden_accel_cross_check(accel):
     _check("bvh_test", _render(scene, pol))
 
 
+@pytest.mark.slow
 def test_golden_mesh():
     """Triangle-mesh geometry (the pallas traversal's main workload) at
     96x96 (the displaced mesh renders black at the 64x64 framing) —

@@ -1,5 +1,6 @@
 """Uniform-grid DDA acceleration vs brute-force oracle."""
 import dataclasses
+import pytest
 
 import numpy as np
 import jax.numpy as jnp
@@ -62,6 +63,7 @@ def test_grid_shadow_matches_brute():
     np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.slow
 def test_grid_render_matches_brute():
     scene = builders.bvh_test_scene(32, 32)
     pol_bf = RendererPolicy(max_bounces=5, rays_per_chunk=1024)
@@ -76,6 +78,7 @@ def test_grid_render_matches_brute():
     assert mismatch.mean() < 0.005, mismatch.mean()
 
 
+@pytest.mark.slow
 def test_grid_mesh_scene_renders():
     scene = accel.with_grid(builders.mesh_scene(32, 32, subdivisions=3), res=24)
     pol = RendererPolicy(max_bounces=4, rays_per_chunk=1024, accel="grid")

@@ -233,6 +233,7 @@ def test_numpy_bvh_builder_fallback():
     np.testing.assert_allclose(np.asarray(tt)[hit], np.asarray(bt)[hit], rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_cli_checkpoint_resume(tmp_path):
     """Two CLI invocations with --checkpoint produce the same buckets as one
     continuous run (resume across processes, through disk)."""
@@ -268,6 +269,7 @@ def test_cli_checkpoint_resume(tmp_path):
     np.testing.assert_array_equal(resumed, r.render(tonemap=False))
 
 
+@pytest.mark.slow
 def test_checkpoint_preserves_adaptive_counts(tmp_path):
     """An adaptive render's per-pixel counts must survive save/load: the
     count-aware resolve after resume must match the unresumed resolve

@@ -340,6 +340,7 @@ def test_mxu_battery_matches_vpu():
 
 
 @pytest.mark.parametrize("unroll,plan_block", [(2, 8), (4, 32), (8, 16)])
+@pytest.mark.slow
 def test_unroll_and_plan_block_bit_exact(unroll, plan_block):
     """The perf knobs (visits per traversal-loop trip, tiles per planner
     program) must be bit-exact vs the defaults: with sorted entries,
@@ -394,6 +395,41 @@ def test_fuse_and_trav_block_bit_exact(fuse, trav_block):
     o1 = tk.occluded_clustered_pallas(
         cp, p, d, tf, tile_r=64, interpret=True,
         fuse=fuse, trav_block=trav_block,
+    )
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+
+@pytest.mark.parametrize(
+    "exit_refresh,prefetch", [(32, False), (8, True), (64, True)]
+)
+def test_exit_refresh_and_prefetch_bit_exact(exit_refresh, prefetch):
+    """The walk's scalar-sync knobs must be bit-exact vs the defaults:
+    a staler exit bound only ADMITS extra (result-neutral) visits, and
+    prefetched visit/entry scalars are loop-invariant inputs read a trip
+    early — identical values, same mx program points. Note interpret mode
+    never fires the early exit (stale-SMEM cond, ROADMAP.md item 4), so
+    this covers the no-exit walk; the hardware golden gate
+    (benchmarks/tpu_goldens.py) exercises the exit path compiled."""
+    cp, _ = _sphere_setup(P=300)
+    p, d = _rays(777)
+    alive = jnp.asarray(RNG.random(777) > 0.25)
+    t0, i0 = tk.intersect_clustered_pallas(
+        cp, p, d, None, alive, tile_r=64, interpret=True, fuse=4,
+        trav_block=8,
+    )
+    t1, i1 = tk.intersect_clustered_pallas(
+        cp, p, d, None, alive, tile_r=64, interpret=True, fuse=4,
+        trav_block=8, exit_refresh=exit_refresh, prefetch=prefetch,
+    )
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+    tf = jnp.where(alive, jnp.float32(10.0), jnp.float32(0.0))
+    o0 = tk.occluded_clustered_pallas(
+        cp, p, d, tf, tile_r=64, interpret=True, fuse=4, trav_block=8
+    )
+    o1 = tk.occluded_clustered_pallas(
+        cp, p, d, tf, tile_r=64, interpret=True, fuse=4, trav_block=8,
+        exit_refresh=exit_refresh, prefetch=prefetch,
     )
     np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
 
@@ -587,6 +623,7 @@ def test_unsorted_plan_entries_are_suffix_minima():
         assert (np.diff(e, axis=1) >= 0).all(), f"sort={sort}"
 
 
+@pytest.mark.slow
 def test_early_exit_spike_dip_scene_interpret():
     """The forced spike-then-dip visit-order scene (the sort=False early-
     exit counterexample) must resolve to the brute result. Interpret mode
@@ -598,6 +635,7 @@ def test_early_exit_spike_dip_scene_interpret():
     assert tg._early_exit_gate(interpret=True) == 0
 
 
+@pytest.mark.slow
 def test_primary_accel_compositions():
     """primary_accel composes bit-exactly with ReSTIR (same-peel site) and
     adaptive allocation. ReSTIR needs ray_order pinned to 'raster': the
@@ -640,6 +678,7 @@ def test_primary_accel_compositions():
     )
 
 
+@pytest.mark.slow
 def test_sort_impl_kernel_matches_xla():
     """The in-kernel vectorized selection sort (pallas_sort_impl='kernel')
     must reproduce the XLA argsort path bit-for-bit: same visit order

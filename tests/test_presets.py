@@ -1,5 +1,6 @@
 """Render-model presets."""
 import numpy as np
+import pytest
 
 from cpu_raytracing_experiments_tpu.models import presets
 from cpu_raytracing_experiments_tpu.render.api import Renderer
@@ -14,6 +15,7 @@ def test_presets_lookup_and_override():
     assert presets.get("reference_compat").sky_bug_compat
 
 
+@pytest.mark.slow
 def test_every_preset_renders():
     import dataclasses
 

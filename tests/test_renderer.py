@@ -2,6 +2,7 @@
 (SURVEY.md §4: the reference's only correctness scaffolding is the
 White_Furnace scene; we add statistical and invariance tests around it)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from cpu_raytracing_experiments_tpu.render import estimator
@@ -194,6 +195,7 @@ def test_nonstandard_bucket_count():
     np.testing.assert_allclose(img, 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_wide_launch_bit_identical():
     """accumulate_wide / passes_per_launch: k passes traced as one wide
     wavefront launch (per-lane accumulation indices) must be bit-identical

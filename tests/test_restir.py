@@ -49,6 +49,7 @@ def test_restir_reservoirs_populate():
     assert res[2].max() > 4  # counts accumulate past one pass's M
 
 
+@pytest.mark.slow
 def test_restir_matches_uniform_mean():
     """Unbiasedness check: ReSTIR must estimate the same image as uniform
     light sampling (statistically, at moderate spp)."""
@@ -63,6 +64,7 @@ def test_restir_matches_uniform_mean():
     assert abs(lo.mean() - lr.mean()) / max(lr.mean(), 1e-9) < 0.05
 
 
+@pytest.mark.slow
 def test_restir_checkpoint_resume_bit_exact(tmp_path):
     pol = RendererPolicy(max_bounces=3, light_sampling="restir",
                          rays_per_chunk=4096)

@@ -167,6 +167,7 @@ def test_sharded_pallas_accel_matches_single():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_sharded_restir_temporal_matches_single():
     """dp-sharded ReSTIR: reservoirs shard with their pixels. Temporal-only
     reuse (restir_spatial=0) has no neighbor lookups, so an 8-device render
@@ -215,6 +216,7 @@ def test_sharded_restir_temporal_matches_single():
     assert float(((a - b) ** 2).mean()) < 1e-4
 
 
+@pytest.mark.slow
 def test_sharded_adaptive_tol0_matches_uniform():
     """Multi-chip adaptive allocation: tol=0 keeps every pixel active, so
     the sharded adaptive render must be bit-identical to the plain sharded
@@ -243,6 +245,7 @@ def test_sharded_adaptive_tol0_matches_uniform():
     assert stats["saved_fraction"] > 0.05
 
 
+@pytest.mark.slow
 def test_cross_topology_checkpoint_resume():
     """Checkpoint on one topology, resume on another, bit-exact either way:
     single-device 4 passes -> sharded 4 more == 8 straight single-device,
@@ -287,6 +290,7 @@ def test_cross_topology_checkpoint_resume():
         np.testing.assert_array_equal(np.asarray(s2.render(tonemap=False)), want)
 
 
+@pytest.mark.slow
 def test_sharded_variance_map_and_denoise():
     """ShardedRenderer.variance_map matches single-device bit-exactly
     (merged buckets, same statistic), and the AOV denoiser accepts a
