@@ -77,6 +77,7 @@ def test_count_aware_resolve_scales_per_pixel():
     np.testing.assert_allclose(img[1], 1.0, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_adaptive_host_traffic_is_explicit_scalars_only():
     """VERDICT r3 item 3's evidence, made structural: under a
     device->host transfer guard that rejects every IMPLICIT pull, the

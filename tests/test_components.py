@@ -1,5 +1,6 @@
 """Tests for coherence sort, bitmanip, scene editing, multi-spp, GGX."""
 import dataclasses
+import pytest
 
 import numpy as np
 import jax.numpy as jnp
@@ -233,6 +234,7 @@ def test_radiance_clamp():
     assert float(np.asarray(rad2.x).max()) > 0.05  # lights exceed the cap
 
 
+@pytest.mark.slow
 def test_stratified_camera_converges_faster():
     """Stratified (van der Corput + CP rotation) camera jitter reduces
     bucket-spread variance vs pure random jitter at equal sample counts

@@ -1,5 +1,6 @@
 """Example scripts stay runnable (the gallery is part of the deliverable)."""
 import subprocess
+import pytest
 import sys
 from pathlib import Path
 
@@ -8,6 +9,7 @@ import numpy as np
 REPO = Path(__file__).resolve().parents[1]
 
 
+@pytest.mark.slow
 def test_turntable_smoke(tmp_path):
     gif = tmp_path / "t.gif"
     out = subprocess.run(

@@ -1,5 +1,6 @@
 """Metrics/observability tests."""
 import json
+import pytest
 
 import numpy as np
 
@@ -41,6 +42,7 @@ def test_jsonl_logging(tmp_path):
     assert lines[1] == {"event": "done", "foo": 1}
 
 
+@pytest.mark.slow
 def test_stage_shares_smoke():
     """Profiling ablation utility runs and returns sane components."""
     from cpu_raytracing_experiments_tpu.scene import builders

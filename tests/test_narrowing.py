@@ -2,6 +2,7 @@
 execution-schedule changes and must leave the rendered sample values
 BIT-IDENTICAL (RNG is keyed by pixel id, not array position)."""
 import numpy as np
+import pytest
 
 import jax
 
@@ -22,6 +23,7 @@ def _pass(pol, scene):
     )
 
 
+@pytest.mark.slow
 def test_narrowing_bit_identical():
     # 1k-sphere scene so the auto gate would engage; force both branches
     scene = builders.random_spheres_scene(W, H, num_spheres=200)

@@ -120,6 +120,7 @@ def test_compact_order_roundtrip():
     np.testing.assert_array_equal(x[order][inv], x)
 
 
+@pytest.mark.slow
 def test_triangle_traversal_matches_brute():
     T = 150
     v0 = RNG.uniform(-4, 4, (T, 3)).astype(np.float32)
@@ -288,6 +289,7 @@ def test_plan_variants_match_ray_plan(plan):
 
 
 @pytest.mark.parametrize("P,K", [(2000, 8), (900, 8)])  # C = 250, 113
+@pytest.mark.slow
 def test_super_plan_bit_identical(P, K):
     """The two-level (supercluster) broad phase must be BIT-identical to
     the flat per-ray planner, not merely a superset: phase B re-runs

@@ -55,6 +55,7 @@ def test_determinism():
     )
 
 
+@pytest.mark.slow
 def test_resume_equivalence():
     """Counter-based RNG: 10 passes in one call == 5 + 5 across two calls,
     bit-exactly (the checkpoint/resume invariant, SURVEY.md §5)."""
@@ -85,6 +86,7 @@ def test_tonemapped_output_in_range():
     assert img.min() >= 0.0 and img.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_variance_decays_with_spp():
     """Monte Carlo convergence: bucket disagreement shrinks ~1/N."""
     scene = builders.default_scene(32, 32)
@@ -128,6 +130,7 @@ def test_sky_bug_compat_flag():
     assert bb[:, 1].sum() > a[:, 1].sum()
 
 
+@pytest.mark.slow
 def test_no_mis_mode_converges_to_same_image():
     """MIS on/off are both unbiased: long-run means agree (loose tol)."""
     scene = builders.default_scene(32, 32)

@@ -238,6 +238,7 @@ def test_tri_spike_dip_shadow_exit():
     assert nexec < int(np.asarray(nvis).sum())
 
 
+@pytest.mark.slow
 def test_tri_random_scene_matches_brute_all_widths():
     """Random triangle soup, SAH clusters (the production mesh builder),
     both planes-present and planes-recomputed table paths."""

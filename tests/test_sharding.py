@@ -33,7 +33,16 @@ def reference_buckets(scene):
     return _single_device_buckets(scene, 40)
 
 
-@pytest.mark.parametrize("dp,sp", [(8, 1), (4, 2), (2, 4), (1, 8), (1, 1)])
+@pytest.mark.parametrize(
+    "dp,sp",
+    [
+        pytest.param(8, 1, marks=pytest.mark.slow),
+        (4, 2),
+        pytest.param(2, 4, marks=pytest.mark.slow),
+        pytest.param(1, 8, marks=pytest.mark.slow),
+        (1, 1),
+    ],
+)
 def test_sharded_matches_single_device(scene, reference_buckets, dp, sp):
     """dp-only sharding is BIT-identical to single device (disjoint pixel
     ownership, same counters). sp sharding reorders the per-bucket float
@@ -88,6 +97,7 @@ def test_pod_mesh_helpers():
     assert int(r.state.accumulations) == 2
 
 
+@pytest.mark.slow
 def test_sharded_multi_spp_matches_single():
     """Composition: sp/dp sharding x samples_per_pixel>1."""
     import dataclasses
@@ -135,6 +145,7 @@ def test_sharded_render_spp_sample_accounting():
     assert abs(float(img_sh.mean()) - float(img_single.mean())) < 0.02
 
 
+@pytest.mark.slow
 def test_sharded_pallas_accel_matches_single():
     """Multi-chip + accel='pallas' (the large-scene production combination):
     8-device dp mesh must match single-device bit-exactly. check_vma=False
@@ -316,6 +327,7 @@ def test_sharded_variance_map_and_denoise():
     assert img.shape == (h, w, 3) and np.isfinite(img).all()
 
 
+@pytest.mark.slow
 def test_sharded_pallas_stream_matches_single():
     """Multi-chip + accel='pallas' + pallas_stream=True: the HBM-streaming
     kernel's packed table operand (memory_space=ANY) must ride shard_map

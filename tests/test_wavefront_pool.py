@@ -2,6 +2,7 @@
 per-pixel radiance — the two drivers share bounce_step and the counter RNG,
 so every pixel's path is the same."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from cpu_raytracing_experiments_tpu.render import renderer, wavefront_pool
@@ -31,11 +32,13 @@ def _compare(scene, policy, accumulation=1, max_mismatch_frac=0.02):
     assert mism.mean() <= max_mismatch_frac, mism.mean()
 
 
+@pytest.mark.slow
 def test_pool_matches_masked_default_scene():
     pol = RendererPolicy(max_bounces=6, rays_per_chunk=1024)
     _compare(builders.default_scene(W, H), pol)
 
 
+@pytest.mark.slow
 def test_pool_matches_masked_small_pool():
     """Pool much smaller than the pixel count: many regeneration rounds."""
     pol = RendererPolicy(max_bounces=6, rays_per_chunk=128)
