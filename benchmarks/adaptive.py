@@ -24,7 +24,11 @@ def main():
     from cpu_raytracing_experiments_tpu.scene import builders
     from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
 
-    W = H = 256
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=256)
+    args = ap.parse_args()
+    W = H = args.size
     scenes = {"hero": (builders.default_scene(W, H), RendererPolicy(max_bounces=6))}
     dof = builders.default_scene(W, H)
     dof = dataclasses.replace(
