@@ -156,13 +156,14 @@ _SIM_ANYHIT = {"sphere": sphere_anyhit, "triangle": triangle_anyhit}
 
 
 def simulate_closest(cp, p, d, tfar0=None, alive=None, tile_r=64,
-                     visit=None, entry=None, nvis=None, w_trip=1):
+                     visit=None, entry=None, nvis=None, w_trip=1, er=8):
     """Run the closest-hit schedule for precomputed per-tile visit lists.
 
     `visit`/`entry`/`nvis` come from traverse_kernel._plan_visits (which
     interpret mode computes correctly); `w_trip` = visits per while-loop
     trip (the kernel's unroll/fuse width — gates extra visits on the
-    stale trip-entry test exactly as the kernel does).
+    stale trip-entry test exactly as the kernel does); `er` = visits
+    between bound refreshes (pallas_exit_refresh).
 
     Returns (tfar [R], prim [R] packed ids, visits_executed int).
     """
@@ -230,7 +231,7 @@ def simulate_closest(cp, p, d, tfar0=None, alive=None, tile_r=64,
                 closer = (best < tfc) & ok
                 tfc = np.where(closer, best, tfc).astype(np.float32)
                 prc = np.where(closer, c * k + arg, prc).astype(np.int32)
-            if j % 8 == (8 - w_trip) % 8:
+            if j % er == (er - w_trip) % er:
                 mx = np.where(ok, np.minimum(tfc, bound), -FLT_MAX).max()
             j += w_trip
         tfar_out[s] = tfc
@@ -239,7 +240,7 @@ def simulate_closest(cp, p, d, tfar0=None, alive=None, tile_r=64,
 
 
 def simulate_shadow(cp, p, d, tfar, tile_r=64,
-                    visit=None, entry=None, nvis=None, w_trip=1):
+                    visit=None, entry=None, nvis=None, w_trip=1, er=8):
     """Any-hit schedule; returns (occluded [R] bool, visits_executed)."""
     p = np.stack([np.asarray(p.x), np.asarray(p.y), np.asarray(p.z)], 1)
     d = np.stack([np.asarray(d.x), np.asarray(d.y), np.asarray(d.z)], 1)
@@ -291,7 +292,7 @@ def simulate_shadow(cp, p, d, tfar, tile_r=64,
                 )
                 visits_executed += 1
                 occ |= bits.any(axis=1) & ok
-            if j % 8 == (8 - w_trip) % 8:
+            if j % er == (er - w_trip) % er:
                 live = ok & ~occ
                 mx = np.where(live, bound, -FLT_MAX).max()
             j += w_trip

@@ -99,6 +99,38 @@ def test_spike_dip_closest_exit_fires_and_is_correct(sort, w_trip):
         assert nexec == planned, (nexec, planned)
 
 
+def test_exit_refresh_er_results_identical_visits_monotone():
+    """pallas_exit_refresh semantics: a staler bound (larger er) can only
+    ADMIT extra visits (each still result-neutral — its entry exceeds some
+    older, larger bound), so results are bit-identical and executed visits
+    are non-decreasing in er."""
+    cp, p, d, geom = _spike_dip_scene()
+    _, id_ref = intersect.intersect_spheres(p, d, *geom)
+    tf0 = np.full(64, sim.FLT_MAX, np.float32)
+    visit, entry, nvis = _plan(cp, p, d, tf0, sort=True)
+    prev = None
+    execs = []
+    for er in (8, 16, 32, 64):
+        tfar, prim, nexec = sim.simulate_closest(
+            cp, p, d, tile_r=64, visit=visit, entry=entry, nvis=nvis,
+            w_trip=4, er=er)
+        if prev is not None:
+            np.testing.assert_array_equal(prim, prev[1])
+            np.testing.assert_array_equal(tfar, prev[0])
+        prev = (tfar, prim)
+        execs.append(nexec)
+        orig = np.where(prim >= 0, np.asarray(cp.order)[np.maximum(prim, 0)],
+                        -1)
+        np.testing.assert_array_equal(orig, np.asarray(id_ref))
+    assert all(b >= a for a, b in zip(execs, execs[1:])), execs
+    # at the default the exit fires mid-list; the stalest settings run this
+    # tiny 12-visit list to completion (the bound refresh never lands) —
+    # exactly the visit-inflation trade the hardware A/B
+    # (benchmarks/diag_walk_knobs.py) weighs against the saved syncs
+    planned = int(np.asarray(nvis).sum())
+    assert execs[0] < planned, (execs, planned)
+
+
 def test_spike_dip_shadow_lane_dropout_exit():
     """Shadow variant: occluders in front of half the lanes shrink the
     live-lane bound mid-list; exit must fire without missing any
