@@ -447,9 +447,12 @@ def _make_plan_kernel(c_real: int, tile_r: int, ppb: int = 8,
     the sorted visit lists and every render) are BIT-IDENTICAL to the
     flat planner; skipping a super whose union box rejects the tile is
     exact (union entry lower-bounds every member entry). Planner battery
-    cost drops from O(TILE_R x C) to O(TILE_R x (S + 128*E)) per tile —
-    at the 100k config (C=1130) a 4K-width plan call measured 15.7 ms
-    flat; E (entered supers) is small for coherent tiles."""
+    cost drops from O(TILE_R x C) to O(TILE_R x (S + 128*E)) per tile.
+    Measured NEGATIVE at 384x384 AND 4K widths (benchmarks/RESULTS.md
+    supercluster A/Bs: the x48-fused 4K flat plan is 6.5-12.8 ms — an
+    earlier single-shot 15.7 ms reading was dispatch-floor-inflated — and
+    'super' loses in both plan and walk); kept as a documented
+    experiment, pallas_plan='auto' resolves to 'ray'."""
 
     def kernel(*refs):
         slabs = refs[:6]

@@ -67,11 +67,11 @@ class RendererPolicy:
     # over all C clusters (production default at every measured scale);
     # 'super' = two-level — slab battery over ceil(C/128) supercluster
     # union boxes first, then cond-gated per-cluster refinement of entered
-    # supers (bit-identical visit lists; MEASURED NEGATIVE: 100k C=1130
-    # 54.0 vs 48.0 ms/pass, C=2217 58.5 vs 50.3 — the honest x64-fused
-    # decomposition puts the flat plan at ~1.4-3 ms/pass vs a
-    # walk-dominated total, and the serialized refine loop costs more than
-    # the battery volume it saves; benchmarks/RESULTS.md);
+    # supers (bit-identical visit lists; MEASURED NEGATIVE at 384x384
+    # (100k C=1130 54.0 vs 48.0 ms/pass, C=2217 58.5 vs 50.3) AND at 4K
+    # widths (round-4 T=4096 A/B: slower in plan and walk at both bounce
+    # states, flat plan only 10-18% of traversal cost) — the walk
+    # dominates everywhere; benchmarks/RESULTS.md supercluster A/Bs);
     # 'tilebox' = conservative per-tile interval slab test (~TILE_R x less
     # planning compute, superset visit lists)
     pallas_tile_rays: object = "auto"  # rays per kernel tile (accel='pallas'):
