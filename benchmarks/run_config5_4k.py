@@ -23,6 +23,11 @@ from cpu_raytracing_experiments_tpu.scene import accel, builders
 from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
 
 W, H, SPP = 3840, 2160, 256
+# passes fused per jit call: amortizes the 46-130 ms tunnel dispatch floor
+# (~2-5% of the run at 1) while keeping each device execution well under
+# the ~60 s fault guard; bit-identical to 1-pass calls (counter-based RNG,
+# tests/test_renderer.py resume equivalence)
+BLOCK = int(os.environ.get("CONFIG5_BLOCK", "4"))
 CKPT = "benchmarks/config5_4k.npz"
 LOG = "benchmarks/config5_4k.jsonl"
 OUT = "examples/mesh_100k_4k.png"
@@ -51,18 +56,20 @@ def main():
     t_all = time.perf_counter()
     wall_accum = 0.0
     while done < SPP:
+        n = min(BLOCK, SPP - done)
         t0 = time.perf_counter()
-        r.accumulate(1)
+        r.accumulate(n)
         float(r.state.buckets[0, 0, 0])  # host-read fence
         dt = time.perf_counter() - t0
         wall_accum += dt
-        done += 1
+        done += n
         if done % 16 == 0 or done == SPP:
             tmp = CKPT + ".tmp.npz"
             checkpoint.save(tmp, r.state, pol, W, H)
             os.replace(tmp, CKPT)
-            log(event="progress", spp=done, last_pass_s=round(dt, 2),
-                mean_pass_s=round(wall_accum / max(done, 1), 2))
+            log(event="progress", spp=done, last_pass_s=round(dt / n, 2),
+                mean_pass_s=round(wall_accum / max(done, 1), 2),
+                block=n)
     img = r.render(tonemap=True)
     from PIL import Image
 
