@@ -23,10 +23,17 @@ from sweep import measure  # noqa: E402  (same dir)
 
 
 def main():
+    import argparse
+
     import jax
 
     from cpu_raytracing_experiments_tpu.scene import accel, builders
     from cpu_raytracing_experiments_tpu.utils.config import RendererPolicy
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="",
+                    help="substring filter over config names (e.g. 'hybrid')")
+    args = ap.parse_args()
 
     print(f"device: {jax.devices()[0]}", flush=True)
     W = 512
@@ -35,6 +42,8 @@ def main():
     rows = []
 
     def run(name, scene, pol, passes=64):
+        if args.only and not any(s in name for s in args.only.split(",")):
+            return
         r = measure(name, scene, pol, W, W, 64, passes=passes)
         rows.append(r)
         print(
