@@ -92,8 +92,14 @@ def main():
         for er, pf in grid:
             pol = RendererPolicy(max_bounces=8, accel="pallas",
                                  pallas_exit_refresh=er, pallas_prefetch=pf)
-            measure(f"{mesh} er={er} pf={pf}", scene, pol, 384, 384,
-                    args.passes)
+            try:
+                measure(f"{mesh} er={er} pf={pf}", scene, pol, 384, 384,
+                        args.passes)
+            except Exception as e:  # a Mosaic lowering failure IS a result
+                print(json.dumps({
+                    "config": f"{mesh} er={er} pf={pf}",
+                    "error": f"{type(e).__name__}: {e}"[:300],
+                }), flush=True)
 
 
 if __name__ == "__main__":
