@@ -28,6 +28,12 @@ W, H, SPP = 3840, 2160, 256
 # the ~60 s fault guard; bit-identical to 1-pass calls (counter-based RNG,
 # tests/test_renderer.py resume equivalence)
 BLOCK = int(os.environ.get("CONFIG5_BLOCK", "4"))
+# schedule overrides so the at-spec run can pick up same-session A/B winners
+# (diag_walk_knobs.py / diag_4k.py --k) without editing library defaults:
+K = os.environ.get("CONFIG5_K", "auto")          # cluster size (auto = by count)
+ER = int(os.environ.get("CONFIG5_ER", "8"))      # pallas_exit_refresh
+PREFETCH = os.environ.get("CONFIG5_PREFETCH", "0") == "1"
+TILE = os.environ.get("CONFIG5_TILE", "auto")    # pallas_tile_rays
 CKPT = "benchmarks/config5_4k.npz"
 LOG = "benchmarks/config5_4k.jsonl"
 OUT = "examples/mesh_100k_4k.png"
@@ -43,8 +49,14 @@ def log(**kw):
 def main():
     scene = builders.mesh_scene(W, H, uv_res=224)
     ntri = scene.triangles.count
-    sc = accel.with_pallas_clusters(scene)  # auto: K=512 at 100k tris
-    pol = RendererPolicy(max_bounces=8, accel="pallas")  # tile auto
+    sc = accel.with_pallas_clusters(
+        scene, cluster_size="auto" if K == "auto" else int(K))
+    pol = RendererPolicy(
+        max_bounces=8, accel="pallas",
+        pallas_tile_rays="auto" if TILE == "auto" else int(TILE),
+        pallas_exit_refresh=ER, pallas_prefetch=PREFETCH)
+    log(event="schedule", k=K, tile=TILE, er=ER, prefetch=PREFETCH,
+        block=BLOCK)
 
     r = Renderer(sc, pol, W, H)
     done = 0
