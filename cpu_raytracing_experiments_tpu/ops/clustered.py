@@ -107,6 +107,7 @@ def build_clusters_sah(
     rows: np.ndarray,
     cluster_size: int = 128,
     kind: str = "sphere",
+    fill_window: int = 1,
 ) -> ClusteredPrims:
     """SAH-cut clustering: build a binned-SAH BVH with
     leaf_size=cluster_size (leaves are then MAXIMAL subtrees holding <=
@@ -119,7 +120,19 @@ def build_clusters_sah(
     re-merged while their union stays within cluster_size, recovering fill
     without giving up much tightness. Same ClusteredPrims contract as
     build_clusters: packed [C*K] rows, original-id `order` (-1 padding),
-    per-cluster AABBs."""
+    per-cluster AABBs.
+
+    `fill_window` > 1 upgrades the adjacent re-merge to windowed first-fit
+    packing: up to `fill_window` partially-filled groups stay open, and
+    each tree-order leaf joins the first open group it fits in (closing
+    the oldest group when none fits and the window is full). Leaves a few
+    apart in tree order are still spatially local, so the union boxes stay
+    tight while fill rises — the battery-volume lever for the
+    walk-dominated mesh configs (ROADMAP round-5 note): at fill f, 1-f of
+    every visited row's lanes test padding, not prims. fill_window=1
+    reproduces the historical adjacent-merge behavior (up to one corner:
+    chopped identical-centroid runs no longer absorb the following small
+    leaf — they are closed immediately)."""
     from ..bvh import builder as _bvh
     from ..utils import native as _native
 
@@ -139,7 +152,9 @@ def build_clusters_sah(
     # so sorting by prim-range start makes consecutive leaves tree-adjacent
     # (usually siblings) — the right pairs to consider re-merging
     leaf_ids = leaf_ids[np.argsort(first[leaf_ids], kind="stable")]
-    groups = []  # list of (ids, lo, hi)
+    groups = []  # closed groups, (ids, lo, hi)
+    open_groups = []  # windowed first-fit: insertion-ordered open groups
+    w = max(1, int(fill_window))
     for nid in leaf_ids:
         b, m = int(first[nid]), int(count[nid])
         # the native builder terminates un-splittable runs (identical
@@ -155,15 +170,19 @@ def build_clusters_sah(
             continue
         ids = order[b : b + m].astype(np.int64)
         lo, hi = node_min[nid].copy(), node_max[nid].copy()
-        if groups and len(groups[-1][0]) + m <= k:
-            pids, plo, phi = groups[-1]
-            groups[-1] = (
-                np.concatenate([pids, ids]),
-                np.minimum(plo, lo),
-                np.maximum(phi, hi),
-            )
+        for gi, (pids, plo, phi) in enumerate(open_groups):
+            if pids.size + m <= k:
+                open_groups[gi] = (
+                    np.concatenate([pids, ids]),
+                    np.minimum(plo, lo),
+                    np.maximum(phi, hi),
+                )
+                break
         else:
-            groups.append((ids, lo, hi))
+            open_groups.append((ids, lo, hi))
+            if len(open_groups) > w:  # close the oldest (most distant in
+                groups.append(open_groups.pop(0))  # tree order) group
+    groups.extend(open_groups)
     num_clusters = len(groups)
     full_order = np.full(num_clusters * k, -1, np.int64)
     c_lo = np.empty((num_clusters, 3), np.float32)

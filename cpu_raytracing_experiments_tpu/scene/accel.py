@@ -103,7 +103,8 @@ def with_grid(scene: Scene, res: int = 32, max_per_cell: int = 16) -> Scene:
 
 
 def with_pallas_clusters(
-    scene: Scene, cluster_size="auto", method: str = "sah"
+    scene: Scene, cluster_size="auto", method: str = "sah",
+    fill_window: int = 1,
 ) -> Scene:
     """Attach clusters sized for the Pallas traversal kernel (accel='pallas',
     ops/pallas/traverse_kernel.py): K is a multiple of the VPU lane width so
@@ -125,7 +126,7 @@ def with_pallas_clusters(
             p = max(p, scene.triangles.count)
         cluster_size = 64 if p < 50_000 else (128 if p < 200_000 else 256)
     if method == "sah":
-        return _with_sah_clusters(scene, cluster_size)
+        return _with_sah_clusters(scene, cluster_size, fill_window)
     n_sph = -(-scene.spheres.count // cluster_size)
     sc = with_clusters(scene, num_clusters=n_sph)
     if scene.triangles is not None:
@@ -137,7 +138,8 @@ def with_pallas_clusters(
     return sc
 
 
-def _with_sah_clusters(scene: Scene, cluster_size: int) -> Scene:
+def _with_sah_clusters(scene: Scene, cluster_size: int,
+                       fill_window: int = 1) -> Scene:
     import numpy as _np
 
     from ..ops import clustered
@@ -152,7 +154,8 @@ def _with_sah_clusters(scene: Scene, cluster_size: int) -> Scene:
         [centers, _np.asarray(scene.spheres.radius_sq)[:, None]], axis=1
     )
     sphere_clusters = clustered.build_clusters_sah(
-        mins, maxs, rows, cluster_size=cluster_size, kind="sphere"
+        mins, maxs, rows, cluster_size=cluster_size, kind="sphere",
+        fill_window=fill_window,
     )
     tri_clusters = None
     if scene.triangles is not None:
@@ -163,7 +166,8 @@ def _with_sah_clusters(scene: Scene, cluster_size: int) -> Scene:
         tmins, tmaxs = builder.triangle_bounds(v0, v0 + e1, v0 + e2)
         trows = _np.concatenate([v0, e1, e2], axis=1)
         tri_clusters = clustered.build_clusters_sah(
-            tmins, tmaxs, trows, cluster_size=cluster_size, kind="triangle"
+            tmins, tmaxs, trows, cluster_size=cluster_size, kind="triangle",
+            fill_window=fill_window,
         )
     return dataclasses.replace(
         scene, sphere_clusters=sphere_clusters, tri_clusters=tri_clusters

@@ -209,17 +209,21 @@ def test_coherence_order_roundtrip_and_grouping():
             assert (np.diff(grp) > 0).all()
 
 
-def test_sah_clusters_invariants_and_parity():
+@pytest.mark.parametrize("fill_window", [1, 8])
+def test_sah_clusters_invariants_and_parity(fill_window):
     """build_clusters_sah: every prim appears exactly once, cluster AABBs
     contain their prims, and the traversal kernel over SAH clusters matches
-    the brute battery exactly (closest + shadow)."""
+    the brute battery exactly (closest + shadow). fill_window=8 exercises
+    the windowed first-fit packing (a measured-negative experiment —
+    benchmarks/sim_fill_pack.py — kept correct behind its knob)."""
     P = 300
     centers = RNG.uniform(-6, 6, (P, 3)).astype(np.float32)
     radii = RNG.uniform(0.1, 0.5, P).astype(np.float32)
     rows = np.concatenate([centers, (radii ** 2)[:, None]], axis=1)
     mins, maxs = centers - radii[:, None], centers + radii[:, None]
     cp = clustered.build_clusters_sah(mins, maxs, rows, cluster_size=64,
-                                      kind="sphere")
+                                      kind="sphere",
+                                      fill_window=fill_window)
     order = np.asarray(cp.order)
     ids = order[order >= 0]
     assert sorted(ids.tolist()) == list(range(P))  # exact partition
