@@ -25,7 +25,7 @@ run() {
   wait_healthy || { echo "=== TUNNEL NEVER HEALTHY (g), abort $(date +%H:%M:%S)" >> "$LOG"; exit 1; }
   echo "=== $* $(date +%H:%M:%S)" >> "$LOG"
   timeout "${T:-900}" "$@" 2>&1 | grep -v WARNING >> "$LOG"
-  echo "=== exit=$? $(date +%H:%M:%S)" >> "$LOG"
+  echo "=== exit=${PIPESTATUS[0]} $(date +%H:%M:%S)" >> "$LOG"
   sleep 5
 }
 

@@ -106,6 +106,30 @@ def _pallas_kw(policy) -> dict:
     }
 
 
+def _closest_epilogue(t):
+    """One-pass closest-hit reduce: (min t [R], first index achieving it).
+
+    The candidate matrix feeds ONE variadic lax.reduce instead of the
+    min + iota-compare re-reduce it replaced — with two reduces XLA either
+    materializes [R, C] or recomputes the battery math per reduce. Measured
+    at exactly config-2 shape (262144 rays x 1024 prims, TPU v5e): 2.29 ms
+    vs 4.158 ms for the two-reduce form, bit-equal including the
+    first-occurrence tie-break (benchmarks/diag_battery3.py, r4g.log).
+    NOTE: inside Pallas/Mosaic the tradeoff INVERTS — the (f32,i32)
+    tuple-reduce lowers poorly on the VPU there, so the traversal kernels
+    keep min-iota (traverse_kernel.py:738)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+
+    def comp(a, b):
+        at, ai = a
+        bt, bi = b
+        pick_b = (bt < at) | ((bt == at) & (bi < ai))
+        return (jnp.where(pick_b, bt, at), jnp.where(pick_b, bi, ai))
+
+    return jax.lax.reduce(
+        (t, iota), (FLT_MAX, jnp.int32(1 << 30)), comp, (1,))
+
+
 def _sphere_candidates(p: Vec3, d: Vec3, cx, cy, cz, r_sq):
     """Per-(ray, prim) candidate distances. p,d: [R]; c*,r_sq: [C].
     Returns t [R, C] with invalid entries = +inf."""
@@ -143,11 +167,7 @@ def intersect_spheres(
             p, d, center.x[start:end], center.y[start:end], center.z[start:end],
             radius_sq[start:end],
         )
-        chunk_best = jnp.min(t, axis=1)
-        iota = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-        first = jnp.min(
-            jnp.where(t == chunk_best[:, None], iota, jnp.int32(1 << 30)), axis=1
-        )
+        chunk_best, first = _closest_epilogue(t)
         chunk_arg = first + (start + prim_id_offset)
         closer = chunk_best < best_t
         best_id = jnp.where(closer, chunk_arg, best_id)
@@ -282,11 +302,7 @@ def intersect_triangles(
     for start in range(0, num_prims, prim_chunk):
         end = min(start + prim_chunk, num_prims)
         t = _triangle_candidates(p, d, sl(v0, start, end), sl(e1, start, end), sl(e2, start, end))
-        chunk_best = jnp.min(t, axis=1)
-        iota = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
-        first = jnp.min(
-            jnp.where(t == chunk_best[:, None], iota, jnp.int32(1 << 30)), axis=1
-        )
+        chunk_best, first = _closest_epilogue(t)
         chunk_arg = first + (start + prim_id_offset)
         closer = chunk_best < best_t
         best_id = jnp.where(closer, chunk_arg, best_id)

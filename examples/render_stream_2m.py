@@ -66,10 +66,16 @@ def main():
         r.accumulate(args.spp - 1)
         jax.block_until_ready(r.state.buckets)
     dt = time.perf_counter() - t0
-    per = dt / max(args.spp - 1, 1)
-    msam = args.width * args.height / per / 1e6
-    print(f"{args.spp - 1} passes in {dt:.1f} s -> {per * 1e3:.0f} ms/pass, "
-          f"{msam:.2f} Msamples/s at {ntri} tris", flush=True)
+    if args.spp > 1:  # with spp<=1 no timed passes ran; a throughput
+        # figure from the ~0s interval would be meaningless
+        per = dt / (args.spp - 1)
+        msam = args.width * args.height / per / 1e6
+        print(f"{args.spp - 1} passes in {dt:.1f} s -> "
+              f"{per * 1e3:.0f} ms/pass, "
+              f"{msam:.2f} Msamples/s at {ntri} tris", flush=True)
+    else:
+        print(f"no timed passes (--spp {args.spp}); compile+first-pass "
+              f"time above is the only timing", flush=True)
 
     img = r.render(tonemap=True)
     from PIL import Image
