@@ -59,6 +59,15 @@ class ClusteredPrims:
     # per program/layout, which produced real ULP-level hit mismatches
     # between the stream and resident kernels on hardware.
     planes: jnp.ndarray = None
+    # Optional per-row SAH-leaf GROUP boxes ([2, C] per component): rows
+    # built with build_clusters_sah(group_boxes=True) hold up to two packed
+    # leaves; glo/ghi[0] bounds the first, glo/ghi[1] the second (a copy of
+    # the first for single-leaf rows). The Pallas planner's plan='group'
+    # mode culls against these tight leaf boxes instead of the row union —
+    # high fill WITHOUT the union-box looseness that measured the plain
+    # fill-packing negative (benchmarks/sim_fill_pack.py).
+    glo: Vec3 = None
+    ghi: Vec3 = None
     num_clusters: int = 0
     cluster_size: int = 0
     kind: str = "sphere"
@@ -108,6 +117,7 @@ def build_clusters_sah(
     cluster_size: int = 128,
     kind: str = "sphere",
     fill_window: int = 1,
+    group_boxes: bool = False,
 ) -> ClusteredPrims:
     """SAH-cut clustering: build a binned-SAH BVH with
     leaf_size=cluster_size (leaves are then MAXIMAL subtrees holding <=
@@ -132,7 +142,13 @@ def build_clusters_sah(
     every visited row's lanes test padding, not prims. fill_window=1
     reproduces the historical adjacent-merge behavior (up to one corner:
     chopped identical-centroid runs no longer absorb the following small
-    leaf — they are closed immediately)."""
+    leaf — they are closed immediately).
+
+    `group_boxes=True` caps packing at TWO leaves per row and records each
+    row's constituent leaf AABBs in ClusteredPrims.glo/ghi so the Pallas
+    planner's plan='group' mode culls per LEAF inside packed rows (tight
+    boxes AND high fill — the design the plain fill-packing negative left
+    open, ROADMAP round-5 note)."""
     from ..bvh import builder as _bvh
     from ..utils import native as _native
 
@@ -152,9 +168,10 @@ def build_clusters_sah(
     # so sorting by prim-range start makes consecutive leaves tree-adjacent
     # (usually siblings) — the right pairs to consider re-merging
     leaf_ids = leaf_ids[np.argsort(first[leaf_ids], kind="stable")]
-    groups = []  # closed groups, (ids, lo, hi)
+    groups = []  # closed groups, (ids, lo, hi, leaf_boxes)
     open_groups = []  # windowed first-fit: insertion-ordered open groups
     w = max(1, int(fill_window))
+    max_leaves = 2 if group_boxes else None
     for nid in leaf_ids:
         b, m = int(first[nid]), int(count[nid])
         # the native builder terminates un-splittable runs (identical
@@ -166,20 +183,36 @@ def build_clusters_sah(
                 ids = order[b2 : b2 + m2].astype(np.int64)
                 sl = mins32[ids]
                 sh = maxs32[ids]
-                groups.append((ids, sl.min(axis=0), sh.max(axis=0)))
+                blo, bhi = sl.min(axis=0), sh.max(axis=0)
+                groups.append((ids, blo, bhi, [(blo, bhi)]))
             continue
         ids = order[b : b + m].astype(np.int64)
         lo, hi = node_min[nid].copy(), node_max[nid].copy()
-        for gi, (pids, plo, phi) in enumerate(open_groups):
-            if pids.size + m <= k:
-                open_groups[gi] = (
+        for gi, (pids, plo, phi, pboxes) in enumerate(open_groups):
+            if pids.size + m <= k and (
+                max_leaves is None or len(pboxes) < max_leaves
+            ):
+                merged = (
                     np.concatenate([pids, ids]),
                     np.minimum(plo, lo),
                     np.maximum(phi, hi),
+                    pboxes + [(lo, hi)],
                 )
+                # a group that can take no further leaf (at exactly k prims,
+                # or at the group-box leaf cap) stops occupying a window slot
+                if merged[0].size == k or (
+                    max_leaves is not None and len(merged[3]) >= max_leaves
+                ):
+                    groups.append(merged)
+                    open_groups.pop(gi)
+                else:
+                    open_groups[gi] = merged
                 break
         else:
-            open_groups.append((ids, lo, hi))
+            if m == k:
+                groups.append((ids, lo, hi, [(lo, hi)]))
+            else:
+                open_groups.append((ids, lo, hi, [(lo, hi)]))
             if len(open_groups) > w:  # close the oldest (most distant in
                 groups.append(open_groups.pop(0))  # tree order) group
     groups.extend(open_groups)
@@ -187,9 +220,14 @@ def build_clusters_sah(
     full_order = np.full(num_clusters * k, -1, np.int64)
     c_lo = np.empty((num_clusters, 3), np.float32)
     c_hi = np.empty((num_clusters, 3), np.float32)
-    for c, (ids, lo, hi) in enumerate(groups):
+    g_lo = np.empty((2, num_clusters, 3), np.float32) if group_boxes else None
+    g_hi = np.empty((2, num_clusters, 3), np.float32) if group_boxes else None
+    for c, (ids, lo, hi, boxes) in enumerate(groups):
         full_order[c * k : c * k + ids.size] = ids
         c_lo[c], c_hi[c] = lo, hi
+        if group_boxes:
+            g_lo[0, c], g_hi[0, c] = boxes[0]
+            g_lo[1, c], g_hi[1, c] = boxes[-1]  # [-1]==boxes[0] when single
     pad_row = np.zeros(rows.shape[1], np.float32)
     pad_row[0] = 1e16
     all_rows = np.vstack([rows.astype(np.float32), pad_row[None, :]])
@@ -201,6 +239,10 @@ def build_clusters_sah(
                 if kind == "triangle" else None),
         lo=Vec3(*[jnp.asarray(c_lo[:, i]) for i in range(3)]),
         hi=Vec3(*[jnp.asarray(c_hi[:, i]) for i in range(3)]),
+        glo=(Vec3(*[jnp.asarray(g_lo[:, :, i]) for i in range(3)])
+             if group_boxes else None),
+        ghi=(Vec3(*[jnp.asarray(g_hi[:, :, i]) for i in range(3)])
+             if group_boxes else None),
         num_clusters=num_clusters,
         cluster_size=k,
         kind=kind,

@@ -419,7 +419,8 @@ def _make_plan_kernel_hybrid(c_real: int, tile_r: int, ppb: int = 8):
 
 def _make_plan_kernel(c_real: int, tile_r: int, ppb: int = 8,
                       sort_in_kernel: bool = False,
-                      use_super: bool = False):
+                      use_super: bool = False,
+                      use_dual: bool = False):
     """One program plans `ppb` consecutive tiles (output blocks must be
     8-sublane-divisible, so ppb is a multiple of 8); the per-tile reduce is
     a fori static-slice loop — no in-kernel reshape across the sublane dim.
@@ -452,13 +453,25 @@ def _make_plan_kernel(c_real: int, tile_r: int, ppb: int = 8,
     supercluster A/Bs: the x48-fused 4K flat plan is 6.5-12.8 ms — an
     earlier single-shot 15.7 ms reading was dispatch-floor-inflated — and
     'super' loses in both plan and walk); kept as a documented
-    experiment, pallas_plan='auto' resolves to 'ray'."""
+    experiment, pallas_plan='auto' resolves to 'ray'.
+
+    `use_dual` = per-LEAF group culling (plan='group'): the second slab
+    set holds the SECOND packed SAH leaf's box per row (group_boxes
+    clustering, clustered.py), and the row entry is the min of the two
+    leaf-box entries — a row is visited iff EITHER constituent leaf would
+    be, so fill-packed rows cull as tightly as unpacked leaves. Entry
+    stays a lower bound on any contained prim's hit (each prim lies in
+    one of the two boxes), so the walk's early exit remains exact."""
+    assert not (use_super and use_dual)
 
     def kernel(*refs):
         slabs = refs[:6]
         k = 6
         if use_super:
             sslabs = refs[6:12]
+            k = 12
+        if use_dual:
+            dslabs = refs[6:12]
             k = 12
         (px, py, pz, dx, dy, dz, tf, valid) = refs[k:k + 8]
         if sort_in_kernel:
@@ -476,7 +489,12 @@ def _make_plan_kernel(c_real: int, tile_r: int, ppb: int = 8,
             rays = (px[s, :], py[s, :], pz[s, :], dx[s, :], dy[s, :],
                     dz[s, :])
             tfs = tf[s, :]
-            if not use_super:
+            if use_dual:
+                row = jnp.minimum(
+                    _tile_entry_row(slabs, *rays, tfs, ok, c_real),
+                    _tile_entry_row(dslabs, *rays, tfs, ok, c_real),
+                )
+            elif not use_super:
                 row = _tile_entry_row(slabs, *rays, tfs, ok, c_real)
             else:
                 # phase A: one [TILE_R, 128] battery over the union boxes
@@ -588,8 +606,19 @@ def _plan_visits(cp: ClusteredPrims, ray_in, t_tiles: int, tile_r: int,
     while t_tiles % ppb:  # t_tiles is a multiple of 8; shrink ppb to fit
         ppb //= 2
     ppb = max(ppb, 8)
-    slabs, cpad = _slab_rows(cp)
-    slabs = _match_vma(slabs, ray_in[0])
+    use_dual = plan == "group"
+    if use_dual and cp.glo is None:
+        # group boxes not built for this pack (e.g. morton clustering or
+        # group_boxes=False) — per-row culling degenerates to the row union
+        use_dual = False
+        plan = "ray"
+    if use_dual:
+        sets = _group_slab_rows(cp)
+        slabs = tuple(_match_vma(sets[:6], ray_in[0]))
+        cpad = slabs[0].shape[1]
+    else:
+        slabs, cpad = _slab_rows(cp)
+        slabs = _match_vma(slabs, ray_in[0])
     use_super = plan == "super"
     sslabs, sspecs = (), []
     if use_super:
@@ -597,15 +626,19 @@ def _plan_visits(cp: ClusteredPrims, ray_in, t_tiles: int, tile_r: int,
         sp = sslabs[0].shape[1]
         sspecs = [pl.BlockSpec((8, sp), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)] * 6
+    if use_dual:
+        sslabs = tuple(_match_vma(sets[6:], ray_in[0]))
+        sspecs = [pl.BlockSpec((8, cpad), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)] * 6
     slab_spec = pl.BlockSpec((8, cpad), lambda i: (0, 0), memory_space=pltpu.VMEM)
     colb = pl.BlockSpec((ppb * tile_r, 1), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
-    if sort and sort_impl == "kernel" and plan in ("ray", "super"):
+    if sort and sort_impl == "kernel" and plan in ("ray", "super", "group"):
         out_spec = pl.BlockSpec((ppb, cpad), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
         entry_s, visit = pl.pallas_call(
             _make_plan_kernel(c, tile_r, ppb, sort_in_kernel=True,
-                              use_super=use_super),
+                              use_super=use_super, use_dual=use_dual),
             grid=(t_tiles // ppb,),
             in_specs=[slab_spec] * 6 + sspecs + [colb] * 8,
             out_specs=[out_spec, out_spec],
@@ -626,8 +659,12 @@ def _plan_visits(cp: ClusteredPrims, ray_in, t_tiles: int, tile_r: int,
         "tilebox": _make_plan_kernel_tilebox,
         "hybrid": _make_plan_kernel_hybrid,
     }.get(plan, _make_plan_kernel)
-    kern = (maker(c, tile_r, ppb, use_super=True) if use_super
-            else maker(c, tile_r, ppb))
+    if use_super:
+        kern = maker(c, tile_r, ppb, use_super=True)
+    elif use_dual:
+        kern = maker(c, tile_r, ppb, use_dual=True)
+    else:
+        kern = maker(c, tile_r, ppb)
     entry_t = pl.pallas_call(
         kern,
         grid=(t_tiles // ppb,),
@@ -1315,6 +1352,26 @@ def _slab_rows(cp: ClusteredPrims):
         a = _pad1(a, cpad - c, pad)
         out.append(jnp.broadcast_to(a[None, :], (8, cpad)))
     return out, cpad
+
+
+def _group_slab_rows(cp: ClusteredPrims):
+    """Per-row SAH-leaf GROUP boxes (ClusteredPrims.glo/ghi, [2, C] per
+    component) as TWO six-row slab sets for the dual planner (plan='group'):
+    set 0 = each row's first packed leaf, set 1 = its second (a copy of the
+    first for single-leaf rows, so the min of the two entries is exact)."""
+    c = cp.num_clusters
+    cpad = -(-c // 128) * 128
+    sets = []
+    for g in range(2):
+        out = []
+        for a, pad in (
+            (cp.glo.x[g], 1e30), (cp.glo.y[g], 1e30), (cp.glo.z[g], 1e30),
+            (cp.ghi.x[g], -1e30), (cp.ghi.y[g], -1e30), (cp.ghi.z[g], -1e30),
+        ):
+            a = _pad1(a, cpad - c, pad)
+            out.append(jnp.broadcast_to(a[None, :], (8, cpad)))
+        sets.append(out)
+    return sets[0] + sets[1]
 
 
 def _super_slab_rows(cp: ClusteredPrims):

@@ -104,7 +104,7 @@ def with_grid(scene: Scene, res: int = 32, max_per_cell: int = 16) -> Scene:
 
 def with_pallas_clusters(
     scene: Scene, cluster_size="auto", method: str = "sah",
-    fill_window: int = 1,
+    fill_window: int = 1, group_boxes: bool = False,
 ) -> Scene:
     """Attach clusters sized for the Pallas traversal kernel (accel='pallas',
     ops/pallas/traverse_kernel.py): K is a multiple of the VPU lane width so
@@ -126,7 +126,8 @@ def with_pallas_clusters(
             p = max(p, scene.triangles.count)
         cluster_size = 64 if p < 50_000 else (128 if p < 200_000 else 256)
     if method == "sah":
-        return _with_sah_clusters(scene, cluster_size, fill_window)
+        return _with_sah_clusters(scene, cluster_size, fill_window,
+                                  group_boxes)
     n_sph = -(-scene.spheres.count // cluster_size)
     sc = with_clusters(scene, num_clusters=n_sph)
     if scene.triangles is not None:
@@ -139,7 +140,8 @@ def with_pallas_clusters(
 
 
 def _with_sah_clusters(scene: Scene, cluster_size: int,
-                       fill_window: int = 1) -> Scene:
+                       fill_window: int = 1,
+                       group_boxes: bool = False) -> Scene:
     import numpy as _np
 
     from ..ops import clustered
@@ -155,7 +157,7 @@ def _with_sah_clusters(scene: Scene, cluster_size: int,
     )
     sphere_clusters = clustered.build_clusters_sah(
         mins, maxs, rows, cluster_size=cluster_size, kind="sphere",
-        fill_window=fill_window,
+        fill_window=fill_window, group_boxes=group_boxes,
     )
     tri_clusters = None
     if scene.triangles is not None:
@@ -167,7 +169,7 @@ def _with_sah_clusters(scene: Scene, cluster_size: int,
         trows = _np.concatenate([v0, e1, e2], axis=1)
         tri_clusters = clustered.build_clusters_sah(
             tmins, tmaxs, trows, cluster_size=cluster_size, kind="triangle",
-            fill_window=fill_window,
+            fill_window=fill_window, group_boxes=group_boxes,
         )
     return dataclasses.replace(
         scene, sphere_clusters=sphere_clusters, tri_clusters=tri_clusters

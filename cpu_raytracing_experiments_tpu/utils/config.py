@@ -73,7 +73,11 @@ class RendererPolicy:
     # states, flat plan only 10-18% of traversal cost) — the walk
     # dominates everywhere; benchmarks/RESULTS.md supercluster A/Bs);
     # 'tilebox' = conservative per-tile interval slab test (~TILE_R x less
-    # planning compute, superset visit lists)
+    # planning compute, superset visit lists); 'group' = per-LEAF culling
+    # for fill-packed rows (scene built with group_boxes=True clustering):
+    # the row entry is the min of the two packed leaves' box entries, so
+    # rows cull as tightly as unpacked leaves while the walk sees fewer,
+    # fuller rows (falls back to 'ray' when the pack has no group boxes)
     pallas_tile_rays: object = "auto"  # rays per kernel tile (accel='pallas'):
     # int | 'auto' = 128 below 512 clusters, else 256 (mesh_ab measured:
     # 20k tris C=232 tile=128 wins +8%, 100k tris C=1134 tile=256 wins +7%)

@@ -258,6 +258,72 @@ def test_sah_clusters_invariants_and_parity(fill_window):
     np.testing.assert_array_equal(occ_pk, occ_ref)
 
 
+def test_group_boxes_build_and_plan_parity():
+    """group_boxes clustering: rows hold <= 2 SAH leaves, each leaf box
+    bounds its lanes' prims, the pair union equals the row box, and the
+    dual-slab plan='group' traversal (per-leaf culling of fill-packed
+    rows) matches the brute battery exactly — closest ids AND shadow —
+    while planning no MORE visits than it would see rows."""
+    P = 300
+    centers = RNG.uniform(-6, 6, (P, 3)).astype(np.float32)
+    radii = RNG.uniform(0.1, 0.5, P).astype(np.float32)
+    rows = np.concatenate([centers, (radii ** 2)[:, None]], axis=1)
+    mins, maxs = centers - radii[:, None], centers + radii[:, None]
+    cp = clustered.build_clusters_sah(mins, maxs, rows, cluster_size=64,
+                                      kind="sphere", fill_window=8,
+                                      group_boxes=True)
+    order = np.asarray(cp.order)
+    ids = order[order >= 0]
+    assert sorted(ids.tolist()) == list(range(P))  # exact partition
+    assert cp.glo is not None and cp.ghi is not None
+    k = cp.cluster_size
+    glo = np.stack([np.asarray(cp.glo.x), np.asarray(cp.glo.y),
+                    np.asarray(cp.glo.z)], -1)  # [2, C, 3]
+    ghi = np.stack([np.asarray(cp.ghi.x), np.asarray(cp.ghi.y),
+                    np.asarray(cp.ghi.z)], -1)
+    lo = np.stack([np.asarray(cp.lo.x), np.asarray(cp.lo.y),
+                   np.asarray(cp.lo.z)], 1)
+    hi = np.stack([np.asarray(cp.hi.x), np.asarray(cp.hi.y),
+                   np.asarray(cp.hi.z)], 1)
+    for c in range(cp.num_clusters):
+        cid = order[c * k:(c + 1) * k]
+        cid = cid[cid >= 0]
+        # every prim in the row lies inside leaf box A or leaf box B
+        in_a = ((mins[cid] >= glo[0, c] - 1e-4).all(1)
+                & (maxs[cid] <= ghi[0, c] + 1e-4).all(1))
+        in_b = ((mins[cid] >= glo[1, c] - 1e-4).all(1)
+                & (maxs[cid] <= ghi[1, c] + 1e-4).all(1))
+        assert (in_a | in_b).all()
+        # pair union == the row union box (no third leaf hides anywhere)
+        np.testing.assert_allclose(
+            np.minimum(glo[0, c], glo[1, c]), lo[c], atol=1e-5)
+        np.testing.assert_allclose(
+            np.maximum(ghi[0, c], ghi[1, c]), hi[c], atol=1e-5)
+    geom = (
+        Vec3(*[jnp.asarray(centers[:, i]) for i in range(3)]),
+        jnp.asarray(radii ** 2),
+    )
+    p, d = _rays(500)
+    t_ref, id_ref = intersect.intersect_spheres(p, d, *geom)
+    t_pk, id_pk = tk.intersect_clustered_pallas(
+        cp, p, d, tile_r=128, plan="group", interpret=True)
+    np.testing.assert_array_equal(np.asarray(id_pk), np.asarray(id_ref))
+    np.testing.assert_allclose(np.asarray(t_pk), np.asarray(t_ref), rtol=5e-5)
+    tfar = jnp.asarray(RNG.uniform(0.5, 20.0, 500).astype(np.float32))
+    occ_ref = np.asarray(intersect.occluded_spheres(p, d, tfar, *geom))
+    occ_pk = np.asarray(
+        tk.occluded_clustered_pallas(cp, p, d, tfar, tile_r=128,
+                                     plan="group", interpret=True)
+    )
+    np.testing.assert_array_equal(occ_pk, occ_ref)
+    # plan='group' on a pack WITHOUT group boxes falls back to 'ray'
+    cp_plain = clustered.build_clusters_sah(mins, maxs, rows,
+                                            cluster_size=64, kind="sphere")
+    t_fb, id_fb = tk.intersect_clustered_pallas(
+        cp_plain, p, d, tile_r=128, plan="group", interpret=True)
+    np.testing.assert_array_equal(np.asarray(id_fb), np.asarray(id_ref))
+
+
 @pytest.mark.parametrize("plan", ["tilebox", "hybrid"])
 def test_plan_variants_match_ray_plan(plan):
     """The conservative broad-phase planners (tilebox interval test, hybrid
