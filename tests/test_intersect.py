@@ -75,6 +75,35 @@ def test_sphere_prim_chunking_consistent():
     np.testing.assert_allclose(np.asarray(t1), np.asarray(t2))
 
 
+def test_closest_epilogue_matches_two_reduce_form():
+    """The one-pass variadic-reduce argmin (_closest_epilogue, the round-5
+    reduce-phase fix measured 2.29 vs 4.158 ms at 262k x 1024 —
+    benchmarks/diag_battery3.py) is BIT-equal to the two-reduce min +
+    iota-compare form it replaced, including first-occurrence tie-breaks
+    (exact duplicate values) and all-miss rows (+inf everywhere)."""
+    import jax
+
+    g = np.random.default_rng(42)
+    t = g.uniform(0.1, 9.0, (64, 37)).astype(np.float32)
+    t[5] = intersect.FLT_MAX  # all-miss row
+    t[7, 3] = t[7, 29] = t[7].min() / 2  # exact duplicate minimum
+    t[11, 0] = t[11].min() / 2  # winner at the first lane
+    t[13, 36] = t[13].min() / 2  # winner at the last lane
+    tj = jnp.asarray(t)
+
+    def two_reduce(t):
+        best = jnp.min(t, axis=1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1)
+        first = jnp.min(
+            jnp.where(t == best[:, None], iota, jnp.int32(1 << 30)), axis=1)
+        return best, first
+
+    want_t, want_i = jax.jit(two_reduce)(tj)
+    got_t, got_i = jax.jit(intersect._closest_epilogue)(tj)
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
 def test_occlusion_matches_closest():
     """occluded <=> some prim hit strictly before tfar."""
     p, d = _rays(300, 7)
