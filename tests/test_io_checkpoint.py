@@ -116,6 +116,8 @@ def test_cli_render_end_to_end(tmp_path):
     np.testing.assert_allclose(back, 1.0, atol=0.01)
 
 
+@pytest.mark.slow  # scene-matrix sweep; test_cli_render_end_to_end keeps
+# the CLI path in the default gate
 def test_cli_scenes_and_aov(tmp_path):
     res = subprocess.run(
         [sys.executable, "-m", "cpu_raytracing_experiments_tpu.cli", "scenes"],

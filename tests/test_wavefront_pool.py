@@ -45,6 +45,8 @@ def test_pool_matches_masked_small_pool():
     _compare(builders.default_scene(W, H), pol, accumulation=3)
 
 
+@pytest.mark.slow  # documented-negative experiment (7.6x slower pool);
+# correctness pinned in the full suite only
 def test_pool_matches_masked_furnace():
     pol = RendererPolicy(max_bounces=8, rays_per_chunk=256)
     _compare(builders.white_furnace_scene(W, H), pol)
