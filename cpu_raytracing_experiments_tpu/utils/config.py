@@ -211,7 +211,12 @@ class RendererPolicy:
     # RIS on a 326-light scene; cap=2 with spatial=4 is ~6% better) -
     # real-time ReSTIR wants long memory, offline accumulation wants short
     restir_spatial: int = 4  # spatial neighbor reservoirs merged per pass
-    restir_radius: int = 8  # 2-D spatial neighborhood radius IN PIXELS:
+    restir_radius: int = 2  # 2-D spatial neighborhood radius IN PIXELS:
+    # default 2 is MEASURED (convergence_restir_2d.py, r5b.log): r=2 beats
+    # r=8 at every spp point (10/50/250 spp MSE 5.19/2.66/1.98 vs
+    # 5.41/2.87/2.05) and r=16 is worse still — close neighbors see the
+    # same light set; far ones dilute the reservoir even when geometry
+    # agrees. Mechanics:
     # each spatial candidate draws (dx, dy) uniformly from the
     # [-radius, radius]^2 box around the pixel (true screen-space
     # neighbors; the neighbor's lane is recovered from the ray-order key
@@ -220,8 +225,10 @@ class RendererPolicy:
     # lane-offset neighbors at this radius in ray-array order.
     restir_spatial_2d: bool = True  # True = 2-D screen-space spatial
     # neighborhood (round 3, self-verified coordinate gather); False =
-    # the round-2 1-D lane-offset neighborhood in ray-array order — kept
-    # selectable for the measured A/B in benchmarks/CONVERGENCE.md
+    # the round-2 1-D lane-offset neighborhood in ray-array order.
+    # MEASURED default (round-5 curves, benchmarks/CONVERGENCE.md 2-D
+    # section): at the r=2 radius the 2-D box beats the 1-D variant and
+    # plain RIS at 50 and 250 spp and ties them at 10
     restir_reject: bool = True  # geometry-similarity rejection of spatial
     # neighbors: reuse only when normals agree within ~25 deg AND hit
     # distances within 10% — the standard ReSTIR guard against reusing
