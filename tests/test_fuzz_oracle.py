@@ -6,6 +6,7 @@ demands per-pixel path agreement with the independent oracle.
 """
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 import oracle
 from cpu_raytracing_experiments_tpu.render import renderer as prod
@@ -48,9 +49,16 @@ def _random_scene(seed):
     return b.build(cam, Sky.constant(ambient))
 
 
-def test_fuzz_random_scenes_match_oracle():
+# two seeds stay in the default gate for fuzz breadth; the full six-seed
+# sweep (3x the wall) runs in ci.sh. bad-pixel budget scales with the
+# number of seeds actually traced (fp32-vs-fp64 knife edges only).
+@pytest.mark.parametrize(
+    "seeds,budget",
+    [((0, 1), 1), pytest.param(tuple(range(6)), 3, marks=pytest.mark.slow)],
+)
+def test_fuzz_random_scenes_match_oracle(seeds, budget):
     total_bad = 0
-    for seed in range(6):
+    for seed in seeds:
         scene = _random_scene(seed)
         if scene.num_lights == 0 and float(scene.sky.ambient.max_component()) == 0:
             continue  # black image either way
@@ -69,4 +77,4 @@ def test_fuzz_random_scenes_match_oracle():
             if not np.allclose(got[px], want, rtol=3e-3, atol=3e-3):
                 total_bad += 1
     # fp32-vs-fp64 knife edges (RR flips, occlusion grazing) only
-    assert total_bad <= 3, total_bad
+    assert total_bad <= budget, total_bad

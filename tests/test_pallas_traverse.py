@@ -209,7 +209,12 @@ def test_coherence_order_roundtrip_and_grouping():
             assert (np.diff(grp) > 0).all()
 
 
-@pytest.mark.parametrize("fill_window", [1, 8])
+@pytest.mark.parametrize(
+    "fill_window",
+    # fill_window=1 is the production default; the windowed-packing variant
+    # (measured-negative knob, RESULTS.md) keeps ci.sh coverage only
+    [1, pytest.param(8, marks=pytest.mark.slow)],
+)
 def test_sah_clusters_invariants_and_parity(fill_window):
     """build_clusters_sah: every prim appears exactly once, cluster AABBs
     contain their prims, and the traversal kernel over SAH clusters matches
@@ -258,6 +263,8 @@ def test_sah_clusters_invariants_and_parity(fill_window):
     np.testing.assert_array_equal(occ_pk, occ_ref)
 
 
+@pytest.mark.slow  # plan='group' is a non-default knob (hardware A/B in
+# RESULTS.md); 30 s of build+interpret parity stays in the ci.sh full suite
 def test_group_boxes_build_and_plan_parity():
     """group_boxes clustering: rows hold <= 2 SAH leaves, each leaf box
     bounds its lanes' prims, the pair union equals the row box, and the
@@ -324,7 +331,13 @@ def test_group_boxes_build_and_plan_parity():
     np.testing.assert_array_equal(np.asarray(id_fb), np.asarray(id_ref))
 
 
-@pytest.mark.parametrize("plan", ["tilebox", "hybrid"])
+@pytest.mark.parametrize(
+    "plan",
+    # both planners are documented measured-negative alternatives
+    # (ARCHITECTURE.md); their ~35 s of parity checking runs in ci.sh
+    [pytest.param("tilebox", marks=pytest.mark.slow),
+     pytest.param("hybrid", marks=pytest.mark.slow)],
+)
 def test_plan_variants_match_ray_plan(plan):
     """The conservative broad-phase planners (tilebox interval test, hybrid
     coherent-tile dispatch) plan visit SUPERSETS of the per-ray plan, so
@@ -544,7 +557,12 @@ def test_fuse_trav_block_triangles_and_seed():
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
 
 
-@pytest.mark.parametrize("K,fuse", [(32, False), (32, 4), (64, 2)])
+@pytest.mark.parametrize(
+    "K,fuse",
+    # (32, fuse=4) covers the same K=32 packing as (32, False) plus the
+    # fused walk; the unfused twin is ci.sh-only
+    [pytest.param(32, False, marks=pytest.mark.slow), (32, 4), (64, 2)],
+)
 def test_lane_packed_sub128_clusters_bit_exact(K, fuse):
     """Sub-128 cluster sizes lane-pack 128/K clusters per battery (tables
     lane-tiled to 128, scalar-gated group selects): hits must be
