@@ -136,11 +136,8 @@ def test_sharded_render_spp_sample_accounting():
     img_single = single.render_spp(10)
     assert int(single.state.accumulations) == 5  # ceil(10/2) passes
     assert int(r.state.accumulations) == 10  # rounded up to lcm(5, sp=2)
-    np.testing.assert_allclose(
-        img_single,
-        Renderer(sc, pol, W, H).render_spp(10),
-        rtol=0, atol=0,
-    )
+    # (single-device render_spp determinism is covered by the resume-
+    # equivalence tests in test_renderer.py — no third render here)
     # same estimator semantics: both resolve to comparable brightness
     assert abs(float(img_sh.mean()) - float(img_single.mean())) < 0.02
 
