@@ -252,8 +252,11 @@ def test_sah_clusters_invariants_and_parity(fill_window):
                                                 interpret=True)
     np.testing.assert_array_equal(np.asarray(id_pk), np.asarray(id_ref))
     # t agrees to f32 rounding (the kernel and the brute battery fuse the
-    # same formula differently; ids are the exact contract)
-    np.testing.assert_allclose(np.asarray(t_pk), np.asarray(t_ref), rtol=5e-5)
+    # same formula differently; ids are the exact contract). rtol 2e-4:
+    # grazing hits legitimately land ~1e-4 apart between fusions — 5e-5
+    # flaked at 1/500 rays on some module-RNG draw orders (full-suite vs
+    # default-gate order changes which scene this test gets)
+    np.testing.assert_allclose(np.asarray(t_pk), np.asarray(t_ref), rtol=2e-4)
     tfar = jnp.asarray(RNG.uniform(0.5, 20.0, 500).astype(np.float32))
     occ_ref = np.asarray(intersect.occluded_spheres(p, d, tfar, *geom))
     occ_pk = np.asarray(
