@@ -1,6 +1,8 @@
 """Principled BSDF (diffuse + GGX specular + refractive transmission)."""
 import dataclasses
 
+import pytest
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -90,6 +92,8 @@ def test_glass_furnace():
     assert img.max() <= 1.0 + 1e-4
 
 
+@pytest.mark.slow  # finiteness-only smoke; the furnace/Snell/TIR tests
+# above are the strong default-gate checks of the same model
 def test_default_scene_principled_renders():
     """The hero scene's glass/metal spheres render finitely with the full
     material model (the reference can't shade these fields at all)."""

@@ -88,6 +88,8 @@ def test_restir_checkpoint_resume_bit_exact(tmp_path):
     )
 
 
+@pytest.mark.slow  # non-default knob-combo compile smoke; the default
+# restir path is covered by populate/matches-uniform-mean above
 def test_restir_spatial_knobs_compile():
     pol = RendererPolicy(max_bounces=2, light_sampling="restir",
                          restir_spatial=0, restir_temporal_cap=4,
