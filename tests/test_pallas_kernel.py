@@ -35,3 +35,39 @@ def test_pallas_occluded_matches_jnp():
     want = np.asarray(intersect.occluded_spheres(p, d, tfar, c, rsq))
     got = np.asarray(pk.occluded_spheres_pallas(p, d, tfar, c, rsq, interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_multi_prim_block_accumulation():
+    """P > TILE_P exercises the round-5 revisited-output combine path
+    (pl.when(j > 0) min/OR accumulation): closest ids must still match the
+    brute battery exactly — including first-occurrence tie-breaks across
+    prim-block boundaries — and occlusion bits must OR across blocks."""
+    assert pk.TILE_P >= 4  # test shrinks the block to force multiple
+    orig = pk.TILE_P
+    try:
+        pk.TILE_P = 4  # 64 prims -> 16 blocks; combine path dominates
+        pk.intersect_spheres_pallas.clear_cache()
+        pk.occluded_spheres_pallas.clear_cache()
+        p, d, c, rsq = _setup(n=1024, m=64, seed=11)
+        bt, bid = intersect.intersect_spheres(p, d, c, rsq)
+        tt, tid = pk.intersect_spheres_pallas(p, d, c, rsq, interpret=True)
+        np.testing.assert_array_equal(np.asarray(tid), np.asarray(bid))
+        hit = np.asarray(bid) >= 0
+        np.testing.assert_allclose(
+            np.asarray(tt)[hit], np.asarray(bt)[hit], rtol=2e-3)
+        # duplicate spheres across DIFFERENT blocks: the earlier block's id
+        # must win the tie (strict-less-than combine keeps first occurrence)
+        c_dup = Vec3(*(jnp.concatenate([a, a]) for a in (c.x, c.y, c.z)))
+        rsq_dup = jnp.concatenate([rsq, rsq])
+        _, tid_dup = pk.intersect_spheres_pallas(
+            p, d, c_dup, rsq_dup, interpret=True)
+        np.testing.assert_array_equal(np.asarray(tid_dup), np.asarray(bid))
+        tfar = jnp.full((p.x.shape[0],), 25.0)
+        want = np.asarray(intersect.occluded_spheres(p, d, tfar, c, rsq))
+        got = np.asarray(
+            pk.occluded_spheres_pallas(p, d, tfar, c, rsq, interpret=True))
+        np.testing.assert_array_equal(got, want)
+    finally:
+        pk.TILE_P = orig
+        pk.intersect_spheres_pallas.clear_cache()
+        pk.occluded_spheres_pallas.clear_cache()
