@@ -56,8 +56,11 @@ def test_stage_shares_smoke():
     assert 0 <= shares["nee_shadow_s"] <= shares["full_s"]
     # generous margin: wall-clock ratios on a loaded 1-core CI box are noisy
     # (first_bounce times a 1-bounce variant vs the 3-bounce full loop; a
-    # compile-cache miss or co-running job can invert them)
-    assert shares["first_bounce_s"] <= shares["full_s"] * 4.0
+    # compile-cache miss or co-running job can invert them). full_s at this
+    # 16x16 size is single-digit ms, so a pure ratio bound still flaked
+    # under suite load (round-5 ci run) — the +50 ms absolute grace absorbs
+    # one scheduler hiccup while keeping the sanity check meaningful
+    assert shares["first_bounce_s"] <= shares["full_s"] * 4.0 + 0.05
 
 
 def test_pixel_variance_map_and_adaptive_stop():
